@@ -1,0 +1,175 @@
+"""Descriptor matcher vs a dense numpy oracle (and cv2.BFMatcher semantics)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from monocularsfm_tpu.ops.matching import (
+    match_descriptors_pair,
+    match_pairs_batch,
+    matches_to_pairs,
+)
+
+
+def _unit(rng, n, d=128):
+    x = rng.normal(size=(n, d)).astype(np.float32)
+    return x / np.linalg.norm(x, axis=1, keepdims=True)
+
+
+def _numpy_oracle(da, db, ma, mb, ratio, max_distance, cross_check):
+    """Dense re-implementation of the exact documented semantics."""
+    sims = da @ db.T
+    sims[~ma, :] = -np.inf
+    sims[:, ~mb] = -np.inf
+    out = np.full(len(da), -1, np.int32)
+
+    def top2(row):
+        o = np.argsort(-row)
+        return o[0], row[o[0]], row[o[1]]
+
+    def dist(s):
+        return np.sqrt(max(2 - 2 * s, 0.0))
+
+    col_arg = np.argmax(sims, axis=0)
+    for i in range(len(da)):
+        if not ma[i] or not np.isfinite(sims[i]).any():
+            continue
+        j, s1, s2 = top2(sims[i])
+        if not (dist(s1) < ratio * dist(s2)):
+            continue
+        if dist(s1) > max_distance:
+            continue
+        if cross_check:
+            if col_arg[j] != i:
+                continue
+            colvals = np.sort(sims[:, j])[::-1]
+            if not (dist(colvals[0]) < ratio * dist(colvals[1])):
+                continue
+        out[i] = j
+    return out
+
+
+def _planted_pair(rng, n=256, cap=1024, noise=0.05):
+    """Two descriptor sets where set B is a permuted noisy copy of A."""
+    da = np.zeros((cap, 128), np.float32)
+    db = np.zeros((cap, 128), np.float32)
+    ma = np.zeros(cap, bool)
+    mb = np.zeros(cap, bool)
+    base = _unit(rng, n)
+    perm = rng.permutation(n)
+    da[:n] = base
+    noisy = base[perm] + noise * rng.normal(size=(n, 128)).astype(np.float32)
+    db[:n] = noisy / np.linalg.norm(noisy, axis=1, keepdims=True)
+    ma[:n] = True
+    mb[:n] = True
+    return da, db, ma, mb, perm
+
+
+class TestMatchPair:
+    def test_planted_correspondences_recovered(self, rng):
+        da, db, ma, mb, perm = _planted_pair(rng)
+        idx = np.asarray(
+            match_descriptors_pair(
+                jnp.asarray(da), jnp.asarray(db), jnp.asarray(ma), jnp.asarray(mb),
+                col_tile=256,
+            )
+        )
+        n = len(perm)
+        inv = np.empty(n, np.int64)
+        inv[perm] = np.arange(n)
+        matched = idx[:n] >= 0
+        # Random 128-d unit vectors are far apart: nearly all planted matches survive.
+        assert matched.mean() > 0.95
+        assert np.all(idx[:n][matched] == inv[np.arange(n)[matched]])
+        # Padding rows never match.
+        assert np.all(idx[n:] == -1)
+
+    def test_matches_numpy_oracle(self, rng):
+        for cross in (True, False):
+            da, db, ma, mb, _ = _planted_pair(rng, n=200, noise=0.25)
+            idx = np.asarray(
+                match_descriptors_pair(
+                    jnp.asarray(da), jnp.asarray(db), jnp.asarray(ma), jnp.asarray(mb),
+                    ratio=0.9, max_distance=0.9, cross_check=cross, col_tile=128,
+                )
+            )
+            oracle = _numpy_oracle(da, db, ma, mb, 0.9, 0.9, cross)
+            # bf16 matmul can flip matches whose top1/top2 margin is tiny;
+            # demand near-exact agreement.
+            agree = (idx == oracle).mean()
+            assert agree > 0.98, f"agreement {agree} (cross_check={cross})"
+
+    def test_tile_invariance(self, rng):
+        da, db, ma, mb, _ = _planted_pair(rng, n=300, noise=0.15)
+        outs = [
+            np.asarray(
+                match_descriptors_pair(
+                    jnp.asarray(da), jnp.asarray(db), jnp.asarray(ma), jnp.asarray(mb),
+                    col_tile=t,
+                )
+            )
+            for t in (128, 512, 1024)
+        ]
+        assert np.array_equal(outs[0], outs[1]) and np.array_equal(outs[1], outs[2])
+
+    def test_empty_and_all_masked(self, rng):
+        cap = 512
+        da = np.zeros((cap, 128), np.float32)
+        db = np.zeros((cap, 128), np.float32)
+        idx = np.asarray(
+            match_descriptors_pair(
+                jnp.asarray(da), jnp.asarray(db),
+                jnp.zeros(cap, bool), jnp.zeros(cap, bool), col_tile=128,
+            )
+        )
+        assert np.all(idx == -1)
+
+
+class TestBatch:
+    def test_batch_matches_single(self, rng):
+        cap = 512
+        bank = np.zeros((4, cap, 128), np.float32)
+        mask = np.zeros((4, cap), bool)
+        for i in range(4):
+            n = 100 + 30 * i
+            bank[i, :n] = _unit(rng, n)
+            mask[i, :n] = True
+        pairs = np.array([[0, 1], [2, 3], [1, 3]], np.int32)
+        out = np.asarray(
+            match_pairs_batch(
+                jnp.asarray(bank), jnp.asarray(mask), jnp.asarray(pairs), col_tile=128
+            )
+        )
+        for k, (a, b) in enumerate(pairs):
+            single = np.asarray(
+                match_descriptors_pair(
+                    jnp.asarray(bank[a]), jnp.asarray(bank[b]),
+                    jnp.asarray(mask[a]), jnp.asarray(mask[b]), col_tile=128,
+                )
+            )
+            np.testing.assert_array_equal(out[k], single)
+
+    def test_matches_to_pairs(self):
+        idx = np.array([-1, 5, -1, 2], np.int32)
+        i, j = matches_to_pairs(idx)
+        np.testing.assert_array_equal(i, [1, 3])
+        np.testing.assert_array_equal(j, [5, 2])
+
+
+class TestAgainstOpenCV:
+    def test_ratio_match_agrees_with_bfmatcher(self, rng):
+        cv2 = __import__("cv2")
+        da, db, ma, mb, _ = _planted_pair(rng, n=400, cap=512, noise=0.2)
+        idx = np.asarray(
+            match_descriptors_pair(
+                jnp.asarray(da), jnp.asarray(db), jnp.asarray(ma), jnp.asarray(mb),
+                ratio=0.8, max_distance=2.0, cross_check=False, col_tile=128,
+            )
+        )
+        bf = cv2.BFMatcher(cv2.NORM_L2)
+        knn = bf.knnMatch(da[:400], db[:400], k=2)
+        cv_idx = np.full(512, -1, np.int32)
+        for m in knn:
+            if len(m) == 2 and m[0].distance < 0.8 * m[1].distance:
+                cv_idx[m[0].queryIdx] = m[0].trainIdx
+        agree = (idx == cv_idx).mean()
+        assert agree > 0.97, f"agreement with cv2: {agree}"
