@@ -1,0 +1,436 @@
+"""Levenberg-Marquardt bundle adjustment with Schur complement on TPU.
+
+Reference parity: src/Optimizer/CeresBundleOptimizer.cpp —
+  residual: angle-axis rotate + translate + pinhole f*x/z vs (u-cx, v-cy),
+            no distortion (obs pre-undistorted at Map load), :29-53
+  solver:   DENSE_SCHUR <= 50 images / SPARSE_SCHUR <= 1000, 100 LM iters,
+            tighter tolerances and 2x iters for < 10 images, :262-291
+  gauge:    constant poses pinned (:256-260)
+
+TPU-native design decisions (not a Ceres translation):
+
+* Pose increments live in a *left-multiplicative* local frame:
+  R <- exp([dw]_x) R, t <- t + dt.  The rotation Jacobian at the origin is
+  exactly -[R X]_x — three constants per observation, no trig — which keeps
+  the whole Jacobian build closed-form, batched, and well-conditioned.
+* Observations are grouped per 3D point and padded to a fixed track width T
+  (`[P, T]` layout).  Point blocks (V, g_p) then reduce along T with plain
+  sums; camera blocks (U, g_c) use segment_sum over the flattened cam index.
+  No dynamic shapes anywhere; padding carries zero weight.
+* The reduced camera system S = U~ - sum_p Y_p W_p^T is built *densely* by a
+  chunked one-hot einsum over points — an MXU contraction, not a scatter —
+  and solved with a Jacobi-equilibrated Cholesky.  For camera counts beyond
+  the dense regime, `solve_mode="pcg"` applies S matrix-free (two gathers +
+  two segment_sums per product) with the block-diagonal U~ preconditioner —
+  the ITERATIVE_SCHUR analogue, and the piece that shards over a mesh by
+  splitting points (psum reduces the camera-side products; see
+  parallel/distributed_ba.py).
+* The trust-region loop is a lax.while_loop — classic LM radius control
+  (accept if rho > 0, grow/shrink radius as Ceres does), fixed shapes, no
+  host round-trips inside the solve.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class BundleProblem:
+    """Fixed-shape BA problem (the reference's BundleData, SoA edition).
+
+    C = camera capacity, P = point capacity, T = track width.
+    """
+
+    K: jnp.ndarray            # (4,) fx, fy, cx, cy
+    R: jnp.ndarray            # (C, 3, 3) world->camera
+    t: jnp.ndarray            # (C, 3)
+    X: jnp.ndarray            # (P, 3)
+    cam_valid: jnp.ndarray    # (C,) bool
+    cam_const: jnp.ndarray    # (C,) bool — gauge-pinned poses
+    point_valid: jnp.ndarray  # (P,) bool
+    obs_cam: jnp.ndarray      # (P, T) int32 camera index (0 where invalid)
+    obs_uv: jnp.ndarray       # (P, T, 2) pixel observations
+    obs_valid: jnp.ndarray    # (P, T) bool
+
+
+def make_bundle_problem(
+    K4, R, t, X, obs_cam, obs_uv, obs_valid, cam_const,
+    cam_valid=None, point_valid=None,
+) -> BundleProblem:
+    """Assemble a BundleProblem from host arrays (no padding logic here)."""
+    P = X.shape[0]
+    C = R.shape[0]
+    if cam_valid is None:
+        cam_valid = np.ones(C, bool)
+    if point_valid is None:
+        point_valid = np.asarray(obs_valid).any(axis=1)
+    return BundleProblem(
+        K=jnp.asarray(K4, jnp.float32),
+        R=jnp.asarray(R, jnp.float32),
+        t=jnp.asarray(t, jnp.float32),
+        X=jnp.asarray(X, jnp.float32),
+        cam_valid=jnp.asarray(cam_valid),
+        cam_const=jnp.asarray(cam_const),
+        point_valid=jnp.asarray(point_valid),
+        obs_cam=jnp.asarray(obs_cam, jnp.int32),
+        obs_uv=jnp.asarray(obs_uv, jnp.float32),
+        obs_valid=jnp.asarray(obs_valid),
+    )
+
+
+def _skew(v):
+    """(..., 3) -> (..., 3, 3) cross-product matrix."""
+    x, y, z = v[..., 0], v[..., 1], v[..., 2]
+    zero = jnp.zeros_like(x)
+    return jnp.stack(
+        [
+            jnp.stack([zero, -z, y], axis=-1),
+            jnp.stack([z, zero, -x], axis=-1),
+            jnp.stack([-y, x, zero], axis=-1),
+        ],
+        axis=-2,
+    )
+
+
+def _exp_so3(w):
+    """Rodrigues exponential, same stable form as geometry.rotations."""
+    theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
+    theta = jnp.sqrt(theta2 + 1e-12)
+    small = theta2[..., 0] < 1e-8
+    sinc = jnp.where(small, 1.0 - theta2[..., 0] / 6.0, jnp.sin(theta[..., 0]) / theta[..., 0])
+    cosc = jnp.where(small, 0.5 - theta2[..., 0] / 24.0,
+                     (1.0 - jnp.cos(theta[..., 0])) / theta2[..., 0])
+    Km = _skew(w)
+    eye = jnp.broadcast_to(jnp.eye(3, dtype=w.dtype), Km.shape)
+    return eye + sinc[..., None, None] * Km + cosc[..., None, None] * (Km @ Km)
+
+
+def _residuals(K, R, t, X, obs_cam, obs_uv, w):
+    """r: (P, T, 2) weighted residuals; also returns q=(RX) and z for reuse."""
+    fx, fy, cx, cy = K[0], K[1], K[2], K[3]
+    R_obs = R[obs_cam]                       # (P, T, 3, 3)
+    t_obs = t[obs_cam]                       # (P, T, 3)
+    q = jnp.einsum("ptij,pj->pti", R_obs, X, precision=_HIGHEST)
+    p = q + t_obs
+    z = p[..., 2]
+    zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+    u = fx * p[..., 0] / zs + cx
+    v = fy * p[..., 1] / zs + cy
+    r = jnp.stack([u - obs_uv[..., 0], v - obs_uv[..., 1]], axis=-1)
+    return r * w[..., None], p, zs, R_obs
+
+
+def _cost(r):
+    return 0.5 * jnp.sum(r * r)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("max_iterations", "schur_chunk", "solve_mode", "pcg_iters"),
+)
+def bundle_adjust(
+    prob: BundleProblem,
+    max_iterations: int = 50,
+    function_tolerance: float = 1e-6,
+    parameter_tolerance: float = 1e-8,
+    initial_radius: float = 1e4,
+    schur_chunk: int = 2048,
+    solve_mode: str = "dense",
+    pcg_iters: int = 100,
+) -> dict[str, Any]:
+    """Run LM. Returns dict(R, t, X, cost_initial, cost_final, iterations,
+    rmse_initial, rmse_final, num_residuals)."""
+    K = prob.K
+    C = prob.R.shape[0]
+    P, T = prob.obs_cam.shape
+    w = (
+        prob.obs_valid
+        & prob.point_valid[:, None]
+        & prob.cam_valid[prob.obs_cam]
+    ).astype(jnp.float32)
+    num_res = jnp.sum(w)
+    obs_cam_flat = prob.obs_cam.reshape(-1)
+
+    free_cam = (prob.cam_valid & ~prob.cam_const).astype(jnp.float32)  # (C,)
+
+    def compute_cost(R, t, X):
+        r, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
+        return _cost(r), r
+
+    def build_system(R, t, X):
+        """Residuals + all Schur building blocks at the current state."""
+        r, p, z, R_obs = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
+        q = p - t[prob.obs_cam]  # (P, T, 3) rotated-but-untranslated points
+        fx, fy = K[0], K[1]
+        inv_z = 1.0 / z
+        zero = jnp.zeros_like(z)
+        Jproj = jnp.stack(
+            [
+                jnp.stack([fx * inv_z, zero, -fx * p[..., 0] * inv_z * inv_z], axis=-1),
+                jnp.stack([zero, fy * inv_z, -fy * p[..., 1] * inv_z * inv_z], axis=-1),
+            ],
+            axis=-2,
+        ) * w[..., None, None]  # (P, T, 2, 3), weighted once — so products
+        # J^T J carry w^2? No: weight belongs to the residual definition
+        # r_w = w * r, J_w = w * J; with w in {0, 1}, w^2 = w. OK.
+        # d p / d (dw, dt): [-[q]_x | I]  (3, 6)
+        Jpose = jnp.concatenate(
+            [-_skew(q), jnp.broadcast_to(jnp.eye(3, dtype=q.dtype), q.shape + (3,))],
+            axis=-1,
+        )  # (P, T, 3, 6)
+        Jc = jnp.einsum("ptij,ptjk->ptik", Jproj, Jpose, precision=_HIGHEST)  # (P,T,2,6)
+        Jp = jnp.einsum("ptij,ptjk->ptik", Jproj, R_obs, precision=_HIGHEST)  # (P,T,2,3)
+        # Zero out Jacobian columns of pinned/invalid cameras (gauge fixing).
+        Jc = Jc * free_cam[prob.obs_cam][..., None, None]
+
+        # Camera blocks.
+        U = jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", Jc.reshape(-1, 2, 6), Jc.reshape(-1, 2, 6),
+                       precision=_HIGHEST),
+            obs_cam_flat, num_segments=C,
+        )  # (C, 6, 6)
+        g_c = jax.ops.segment_sum(
+            -jnp.einsum("oki,ok->oi", Jc.reshape(-1, 2, 6), r.reshape(-1, 2),
+                        precision=_HIGHEST),
+            obs_cam_flat, num_segments=C,
+        )  # (C, 6)
+        # Point blocks.
+        V = jnp.einsum("ptki,ptkj->pij", Jp, Jp, precision=_HIGHEST)  # (P, 3, 3)
+        g_p = -jnp.einsum("ptki,ptk->pi", Jp, r, precision=_HIGHEST)  # (P, 3)
+        # Coupling.
+        W = jnp.einsum("ptki,ptkj->ptij", Jc, Jp, precision=_HIGHEST)  # (P, T, 6, 3)
+        return r, U, g_c, V, g_p, W, Jc, Jp
+
+    def inv3x3(M):
+        """Batched closed-form 3x3 inverse (adjugate / det)."""
+        a = M
+        c00 = a[..., 1, 1] * a[..., 2, 2] - a[..., 1, 2] * a[..., 2, 1]
+        c01 = a[..., 1, 2] * a[..., 2, 0] - a[..., 1, 0] * a[..., 2, 2]
+        c02 = a[..., 1, 0] * a[..., 2, 1] - a[..., 1, 1] * a[..., 2, 0]
+        c10 = a[..., 0, 2] * a[..., 2, 1] - a[..., 0, 1] * a[..., 2, 2]
+        c11 = a[..., 0, 0] * a[..., 2, 2] - a[..., 0, 2] * a[..., 2, 0]
+        c12 = a[..., 0, 1] * a[..., 2, 0] - a[..., 0, 0] * a[..., 2, 1]
+        c20 = a[..., 0, 1] * a[..., 1, 2] - a[..., 0, 2] * a[..., 1, 1]
+        c21 = a[..., 0, 2] * a[..., 1, 0] - a[..., 0, 0] * a[..., 1, 2]
+        c22 = a[..., 0, 0] * a[..., 1, 1] - a[..., 0, 1] * a[..., 1, 0]
+        det = a[..., 0, 0] * c00 + a[..., 0, 1] * c01 + a[..., 0, 2] * c02
+        det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+        adj = jnp.stack(
+            [
+                jnp.stack([c00, c10, c20], axis=-1),
+                jnp.stack([c01, c11, c21], axis=-1),
+                jnp.stack([c02, c12, c22], axis=-1),
+            ],
+            axis=-2,
+        )
+        return adj / det[..., None, None]
+
+    eyeC6 = jnp.eye(6, dtype=jnp.float32)
+
+    def damped_blocks(U, V, lam):
+        """Ceres-style diagonal damping with clamped diagonals."""
+        dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, 1e32)
+        dV = jnp.clip(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6, 1e32)
+        U_d = U + lam * dU[..., None] * eyeC6
+        V_d = V + lam * dV[..., None] * jnp.eye(3, dtype=jnp.float32)
+        # Pinned / invalid cameras get identity blocks -> zero step.
+        pin = ~(prob.cam_valid & ~prob.cam_const)
+        U_d = jnp.where(pin[:, None, None], eyeC6, U_d)
+        # Invalid points likewise.
+        V_d = jnp.where(
+            prob.point_valid[:, None, None], V_d, jnp.eye(3, dtype=jnp.float32)
+        )
+        return U_d, V_d
+
+    # Chunk size never exceeds the point capacity (small problems).
+    schur_chunk = min(schur_chunk, P)
+    num_chunks = (P + schur_chunk - 1) // schur_chunk
+
+    def dense_schur_solve(U_d, Vinv, W, g_c, g_p):
+        """Build S and rhs densely (chunked one-hot einsum) and solve."""
+        Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)  # (P,T,6,3)
+        rhs = g_c - jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", Y.reshape(-1, 6, 3),
+                       jnp.repeat(g_p, T, axis=0).reshape(-1, 3),
+                       precision=_HIGHEST),
+            obs_cam_flat, num_segments=C,
+        )  # (C, 6)
+
+        # Zero-pad the point axis to a whole number of chunks (zero W/Y rows
+        # contribute nothing), then scan chunks — fully static shapes, no
+        # clamped dynamic slices.
+        pad = num_chunks * schur_chunk - P
+        Yp = jnp.pad(Y, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        Wp = jnp.pad(W, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        camp = jnp.pad(prob.obs_cam, ((0, pad), (0, 0)))
+        Yc = Yp.reshape(num_chunks, schur_chunk, T, 6, 3)
+        Wc = Wp.reshape(num_chunks, schur_chunk, T, 6, 3)
+        cc = camp.reshape(num_chunks, schur_chunk, T)
+
+        def chunk_body(S_acc, inp):
+            cam_chunk, Y_chunk, W_chunk = inp
+            oh = jax.nn.one_hot(cam_chunk, C, dtype=jnp.float32)  # (pc,T,C)
+            Yg = jnp.einsum("ptc,ptij->pcij", oh, Y_chunk, precision=_HIGHEST)
+            Wg = jnp.einsum("ptc,ptij->pcij", oh, W_chunk, precision=_HIGHEST)
+            S_acc = S_acc - jnp.einsum(
+                "pcij,pdkj->cidk", Yg, Wg, precision=_HIGHEST
+            ).reshape(C * 6, C * 6)
+            return S_acc, None
+
+        S0 = jnp.zeros((C * 6, C * 6), jnp.float32)
+        S, _ = jax.lax.scan(chunk_body, S0, (cc, Yc, Wc))
+        # Add U~ on the block diagonal.
+        bidx = jnp.arange(C)
+        S = S.reshape(C, 6, C, 6)
+        S = S.at[bidx, :, bidx, :].add(U_d)
+        S = S.reshape(C * 6, C * 6)
+        # Jacobi equilibration keeps the f32 Cholesky healthy.
+        d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-12, None))
+        dinv = 1.0 / d
+        S_eq = S * dinv[:, None] * dinv[None, :]
+        rhs_eq = rhs.reshape(-1) * dinv
+        L, low = jax.scipy.linalg.cho_factor(S_eq, lower=True)
+        dc = jax.scipy.linalg.cho_solve((L, low), rhs_eq) * dinv
+        return dc.reshape(C, 6), Y
+
+    def pcg_schur_solve(U_d, Vinv, W, g_c, g_p):
+        """Matrix-free PCG on S dc = rhs with block-Jacobi preconditioner."""
+        Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)
+        rhs = g_c - jax.ops.segment_sum(
+            jnp.einsum("oij,oj->oi", Y.reshape(-1, 6, 3),
+                       jnp.repeat(g_p, T, axis=0).reshape(-1, 3),
+                       precision=_HIGHEST),
+            obs_cam_flat, num_segments=C,
+        )
+        Uinv = jnp.linalg.inv(U_d)  # (C, 6, 6) block-Jacobi preconditioner
+
+        def S_mul(x):  # x: (C, 6)
+            Ux = jnp.einsum("cij,cj->ci", U_d, x, precision=_HIGHEST)
+            # Wx: sum_t W_pt^T x_{cam(pt)} -> (P, 3)
+            Wx = jnp.einsum("ptji,ptj->pi", W, x[prob.obs_cam], precision=_HIGHEST)
+            VinvWx = jnp.einsum("pij,pj->pi", Vinv, Wx, precision=_HIGHEST)
+            back = jax.ops.segment_sum(
+                jnp.einsum("oij,oj->oi", W.reshape(-1, 6, 3),
+                           jnp.repeat(VinvWx, T, axis=0).reshape(-1, 3),
+                           precision=_HIGHEST),
+                obs_cam_flat, num_segments=C,
+            )
+            return Ux - back
+
+        def prec(z):
+            return jnp.einsum("cij,cj->ci", Uinv, z, precision=_HIGHEST)
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs - S_mul(x0)
+        z0 = prec(r0)
+        p0 = z0
+
+        def body(carry, _):
+            x, r, z, pvec = carry
+            Sp = S_mul(pvec)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(pvec * Sp), 1e-20)
+            x = x + alpha * pvec
+            r_new = r - alpha * Sp
+            z_new = prec(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+            pvec = z_new + beta * pvec
+            return (x, r_new, z_new, pvec), None
+
+        (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, p0), None, length=pcg_iters)
+        return x, Y
+
+    solve = dense_schur_solve if solve_mode == "dense" else pcg_schur_solve
+
+    def try_step(R, t, X, lam):
+        r, U, g_c, V, g_p, W, Jc, Jp = build_system(R, t, X)
+        cost = _cost(r)
+        U_d, V_d = damped_blocks(U, V, lam)
+        Vinv = inv3x3(V_d)
+        dc, Y = solve(U_d, Vinv, W, g_c, g_p)
+        dc = dc * free_cam[:, None]
+        # Back-substitute point updates.
+        WTdc = jnp.einsum("ptij,pti->pj", W, dc[prob.obs_cam], precision=_HIGHEST)
+        dp = jnp.einsum("pij,pj->pi", Vinv, g_p - WTdc, precision=_HIGHEST)
+        dp = dp * prob.point_valid[:, None]
+        # Model (predicted) cost reduction: -g.dx - 0.5 dx^T H dx, computed
+        # through J dx at the observation level (cheap, exact).
+        Jdx = (
+            jnp.einsum("ptij,ptj->pti", Jc, dc[prob.obs_cam], precision=_HIGHEST)
+            + jnp.einsum("ptij,pj->pti", Jp, dp, precision=_HIGHEST)
+        )
+        pred = -jnp.sum(r * Jdx) - 0.5 * jnp.sum(Jdx * Jdx)
+        # Apply the step.
+        R_new = _exp_so3(dc[:, :3]) @ R
+        t_new = t + dc[:, 3:]
+        X_new = X + dp
+        new_cost, _ = compute_cost(R_new, t_new, X_new)
+        step_sq = jnp.sum(dc * dc) + jnp.sum(dp * dp)
+        return cost, new_cost, pred, R_new, t_new, X_new, step_sq
+
+    cost0, _ = compute_cost(prob.R, prob.t, prob.X)
+
+    def cond(state):
+        R, t, X, radius, cost, it, done = state
+        return (it < max_iterations) & ~done
+
+    def body(state):
+        R, t, X, radius, cost, it, done = state
+        lam = 1.0 / radius
+        cost_cur, new_cost, pred, R_new, t_new, X_new, step_sq = try_step(R, t, X, lam)
+        rho = (cost_cur - new_cost) / jnp.maximum(pred, 1e-20)
+        accept = (rho > 0) & (new_cost < cost_cur) & jnp.isfinite(new_cost)
+        # Ceres-style radius update.
+        shrink = 1.0 - (2.0 * rho - 1.0) ** 3
+        radius_new = jnp.where(
+            accept,
+            radius / jnp.clip(shrink, 1.0 / 3.0, None),
+            radius / 2.0,
+        )
+        radius_new = jnp.clip(radius_new, 1e-16, 1e16)
+        R = jnp.where(accept, R_new, R)
+        t = jnp.where(accept, t_new, t)
+        X = jnp.where(accept, X_new, X)
+        cost_out = jnp.where(accept, new_cost, cost_cur)
+        # Convergence tests (only meaningful on accepted steps).
+        f_conv = accept & (
+            jnp.abs(cost_cur - new_cost) <= function_tolerance * cost_cur
+        )
+        x_conv = accept & (jnp.sqrt(step_sq) <= parameter_tolerance)
+        stuck = ~accept & (radius_new <= 1e-14)
+        return (R, t, X, radius_new, cost_out, it + 1, f_conv | x_conv | stuck)
+
+    state = (
+        prob.R, prob.t, prob.X,
+        jnp.asarray(initial_radius, jnp.float32),
+        cost0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+    )
+    R, t, X, radius, cost, iters, done = jax.lax.while_loop(cond, body, state)
+    denom = jnp.maximum(num_res, 1.0)
+    # Mean Euclidean reprojection error per observation — the metric the
+    # reference reports (Map::PrintStatistics / README "0.33772 px" style).
+    r_fin, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
+    mean_reproj = jnp.sum(jnp.linalg.norm(r_fin, axis=-1)) / denom
+    return {
+        "R": R,
+        "t": t,
+        "X": X,
+        "cost_initial": cost0,
+        "cost_final": cost,
+        "iterations": iters,
+        # Per-residual-component RMSE (Ceres convention: 2 components/obs).
+        "rmse_initial": jnp.sqrt(cost0 / denom),
+        "rmse_final": jnp.sqrt(cost / denom),
+        "mean_reproj_error": mean_reproj,
+        "num_residuals": num_res,
+    }
