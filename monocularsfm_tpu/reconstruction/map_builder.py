@@ -1,0 +1,301 @@
+"""The incremental SfM driver: init -> register -> triangulate -> BA -> filter.
+
+Reference parity: src/Reconstruction/MapBuilder.cpp —
+  SetUp          (:41-97): build K, engines, SceneGraph/RegisterGraph/Map
+  DoBuild        (:100-243): TryInitialize (best-correspondence pair search,
+                 :283-377, :380-443), then the main loop (:144-211):
+                 RegisterGraph::GetNextImageIds -> TryRegisterNextImage
+                 (:445-513) -> Triangulate (:516-573) -> LocalBA + Filter/
+                 Complete/Merge on modified tracks (:576-609, :194-199) or
+                 GlobalBA + FilterAllTracks when registered >= 1.07x prev
+                 (:185-191, :613-637)
+  Summary        (:245-280): per-phase timer table.
+
+The loop itself is host logic; every arrow above dispatches batched device
+work through the engines.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from monocularsfm_tpu.config import SfMConfig
+from monocularsfm_tpu.optim import bundle_adjust
+from monocularsfm_tpu.reconstruction.initializer import Initializer
+from monocularsfm_tpu.reconstruction.map_state import Map
+from monocularsfm_tpu.reconstruction.register_graph import RegisterGraph
+from monocularsfm_tpu.reconstruction.registrant import Registrant
+from monocularsfm_tpu.reconstruction.scene_graph import SceneGraph
+from monocularsfm_tpu.reconstruction.triangulator import Triangulator
+from monocularsfm_tpu.utils.timer import Timer
+
+
+@dataclasses.dataclass
+class BuildSummary:
+    num_registered: int = 0
+    num_points3D: int = 0
+    num_observations: int = 0
+    mean_reprojection_error: float = 0.0
+    mean_track_length: float = 0.0
+    timers: dict = dataclasses.field(default_factory=dict)
+
+    def __str__(self):
+        lines = [
+            f"registered images      : {self.num_registered}",
+            f"3D points              : {self.num_points3D}",
+            f"observations           : {self.num_observations}",
+            f"mean track length      : {self.mean_track_length:.3f}",
+            f"mean reprojection error: {self.mean_reprojection_error:.5f} px",
+        ]
+        lines += [f"  {name:<20s}: {t:8.3f} s" for name, t in self.timers.items()]
+        return "\n".join(lines)
+
+
+class MapBuilder:
+    def __init__(self, config: SfMConfig):
+        self.cfg = config
+        self.K = config.camera.K()
+        self.map = Map(self.K, config.camera.dist_coeffs())
+        self.scene_graph = SceneGraph()
+        self.register_graph: RegisterGraph | None = None
+        self.initializer = Initializer(self.K, config.initializer)
+        self.registrant = Registrant(self.K, config.registrant)
+        self.triangulator = Triangulator(self.K, config.triangulator)
+        self.timers = {
+            name: Timer(name)
+            for name in ("setup", "initialize", "register", "triangulate",
+                         "local_ba", "global_ba", "filter", "total")
+        }
+        self._last_global_ba_count = 0
+        self._log = print if config.map_builder.is_visualization is not None else print
+
+    # -- setup ---------------------------------------------------------------
+    def setup(self, matches: dict, keypoints: dict, colors: dict | None = None,
+              names: dict | None = None):
+        """matches: {(id1, id2): (N,2) int}, keypoints: {id: (N,>=2) float}.
+
+        (The CLI layer feeds these from the SQLite database; tests feed them
+        directly.)"""
+        with self.timers["setup"]:
+            num_kpts = {i: len(k) for i, k in keypoints.items()}
+            self.scene_graph.load(
+                matches, num_kpts, min_num_matches=self.cfg.map_builder.min_num_matches
+            )
+            self.register_graph = RegisterGraph.from_edges(
+                self.scene_graph.edges(),
+                max_trials=self.cfg.map_builder.registration_trials_max,
+            )
+            for i, kps in keypoints.items():
+                name = names.get(i, f"image{i}") if names else f"image{i}"
+                col = colors.get(i) if colors else None
+                self.map.load_image(i, name, np.asarray(kps), col)
+            self.map.scene_graph = self.scene_graph
+
+    # -- init pair search ----------------------------------------------------
+    def _find_init_pairs(self, max_trials: int):
+        """Candidate init pairs: images by total correspondence count, then
+        partners by pairwise match count (FindFirst/SecondInitialImage,
+        MapBuilder.cpp:283-377)."""
+        pair_count = self.scene_graph.edges()
+        first_order = sorted(
+            self.scene_graph.image_ids,
+            key=lambda i: -self.scene_graph.num_correspondences(i)
+            if self.scene_graph.has_image(i) else 0,
+        )
+        tried = 0
+        for first in first_order:
+            partners = sorted(
+                (
+                    (cnt, j)
+                    for (a, b), cnt in pair_count.items()
+                    if a == first or b == first
+                    for j in [b if a == first else a]
+                ),
+                reverse=True,
+            )
+            for cnt, second in partners:
+                if tried >= max_trials:
+                    return
+                tried += 1
+                yield first, second
+
+    def try_initialize(self) -> bool:
+        with self.timers["initialize"]:
+            for id1, id2 in self._find_init_pairs(self.cfg.map_builder.max_num_init_trials):
+                pairs, uv1, uv2 = self.map.get_2d2d_between(id1, id2)
+                if len(pairs) < self.cfg.initializer.init_min_num_inliers:
+                    continue
+                stats, R2, t2, X, inl_idx = self.initializer.initialize(uv1, uv2)
+                if not stats.is_succeed:
+                    self._log(
+                        f"[init] pair ({id1},{id2}) failed: {stats.fail_reason}"
+                    )
+                    continue
+                self.map.add_image_pose(id1, np.eye(3), np.zeros(3))
+                self.map.add_image_pose(id2, R2, t2)
+                self.register_graph.set_registered(id1)
+                self.register_graph.set_registered(id2)
+                for row, xyz in zip(inl_idx, X):
+                    k1, k2 = int(pairs[row, 0]), int(pairs[row, 1])
+                    im1, im2 = self.map.images[id1], self.map.images[id2]
+                    if im1.point3D[k1] >= 0 or im2.point3D[k2] >= 0:
+                        continue
+                    self.map.add_point3d(xyz, [(id1, k1), (id2, k2)])
+                self._log(
+                    f"[init] pair ({id1},{id2}) via {stats.method}: "
+                    f"{stats.num_inliers} inliers, "
+                    f"tri angle med {stats.median_tri_angle:.1f} deg, "
+                    f"residual {stats.ave_residual:.2f} px"
+                )
+                return True
+        return False
+
+    # -- registration --------------------------------------------------------
+    def try_register(self, image_id: int) -> bool:
+        with self.timers["register"]:
+            kpt_idx, pids, uv, xyz = self.map.get_2d3d(image_id)
+            stats, R, t, inl = self.registrant.register(xyz, uv)
+            if not stats.is_succeed:
+                return False
+            self.map.add_image_pose(image_id, R, t)
+            self.register_graph.set_registered(image_id)
+            im = self.map.images[image_id]
+            for j in np.nonzero(inl)[0]:
+                k, pid = int(kpt_idx[j]), int(pids[j])
+                if im.point3D[k] < 0 and self.map._alive[pid] and (
+                    image_id not in [i for i, _ in self.map.track(pid)]
+                ):
+                    self.map.add_observation(pid, image_id, k)
+            self._log(
+                f"[register] image {image_id}: {stats.num_inliers}/"
+                f"{stats.num_point2D_3D_correspondences} inliers, "
+                f"residual {stats.ave_residual:.2f} px"
+            )
+        return True
+
+    def triangulate_new(self, image_id: int) -> int:
+        with self.timers["triangulate"]:
+            cand = self.map.get_triangulation_tracks(
+                image_id, max_track=self.triangulator.T
+            )
+            if not cand:
+                return 0
+            poses = {
+                i: (self.map.images[i].R, self.map.images[i].t)
+                for i in self.map.registered_ids
+            }
+            tracks_uv = [
+                [(i, self.map.images[i].uv[k]) for i, k in tr] for _, tr in cand
+            ]
+            X, acc, _ = self.triangulator.triangulate_tracks(tracks_uv, poses)
+            added = 0
+            for (k, tr), xyz, ok in zip(cand, X, acc):
+                if not ok:
+                    continue
+                # Guards: keypoints may have been claimed by a merge above.
+                if any(self.map.images[i].point3D[kk] >= 0 for i, kk in tr):
+                    continue
+                self.map.add_point3d(xyz, tr)
+                added += 1
+            return added
+
+    # -- bundle adjustment ----------------------------------------------------
+    def local_ba(self, image_id: int):
+        with self.timers["local_ba"]:
+            prob, image_ids, pids = self.map.get_local_ba_data(
+                image_id, window=self.cfg.map_builder.local_ba_window
+            )
+            out = bundle_adjust(
+                prob,
+                max_iterations=self.cfg.bundle.max_iterations // 2,
+                function_tolerance=self.cfg.bundle.function_tolerance,
+            )
+            self.map.update_from_ba(out, image_ids, pids)
+            return out
+
+    def global_ba(self):
+        with self.timers["global_ba"]:
+            prob, image_ids, pids = self.map.get_global_ba_data()
+            # < 10 images: tighter tolerances, 2x iterations
+            # (CeresBundleOptimizer.cpp:279-291).
+            small = len(image_ids) < self.cfg.bundle.min_images_tight
+            out = bundle_adjust(
+                prob,
+                max_iterations=(
+                    2 * self.cfg.bundle.max_iterations if small
+                    else self.cfg.bundle.max_iterations
+                ),
+                function_tolerance=(
+                    self.cfg.bundle.function_tolerance * 1e-2 if small
+                    else self.cfg.bundle.function_tolerance
+                ),
+            )
+            self.map.update_from_ba(out, image_ids, pids)
+            self._last_global_ba_count = len(self.map.registered_ids)
+            return out
+
+    def maintain_tracks(self, point_ids):
+        mb = self.cfg.map_builder
+        with self.timers["filter"]:
+            self.map.filter_points(
+                point_ids, mb.filter_max_error_px, mb.filter_min_tri_angle_deg
+            )
+            self.map.complete_points(
+                [p for p in point_ids if self.map._alive[int(p)]],
+                mb.complete_max_error_px, mb.complete_max_transitivity,
+            )
+            self.map.merge_points(
+                [p for p in point_ids if self.map._alive[int(p)]],
+                mb.merge_max_error_px,
+            )
+
+    # -- main loop ------------------------------------------------------------
+    def do_build(self) -> BuildSummary:
+        with self.timers["total"]:
+            if not self.try_initialize():
+                self._log("[build] initialization failed")
+                return self.summary()
+            self.global_ba()
+            self.maintain_tracks(self.map.point_ids())
+
+            while True:
+                candidates = self.register_graph.get_next_image_ids()
+                if not candidates:
+                    break
+                progressed = False
+                for image_id in candidates:
+                    self.register_graph.add_trial(image_id)
+                    if not self.try_register(image_id):
+                        continue
+                    progressed = True
+                    self.triangulate_new(image_id)
+                    n_reg = len(self.map.registered_ids)
+                    if n_reg >= self.cfg.map_builder.global_ba_ratio * max(
+                        self._last_global_ba_count, 2
+                    ):
+                        self.global_ba()
+                        self.maintain_tracks(self.map.point_ids())
+                    else:
+                        self.local_ba(image_id)
+                        self.maintain_tracks(sorted(self.map.modified_point3D_ids))
+                    break  # re-rank candidates after every success
+                if not progressed:
+                    break
+            # Final global BA if the map moved since the last one.
+            if len(self.map.registered_ids) != self._last_global_ba_count:
+                self.global_ba()
+                self.maintain_tracks(self.map.point_ids())
+        return self.summary()
+
+    def summary(self) -> BuildSummary:
+        st = self.map.statistics()
+        return BuildSummary(
+            num_registered=st.num_registered_images,
+            num_points3D=st.num_points3D,
+            num_observations=st.num_observations,
+            mean_reprojection_error=st.mean_reprojection_error,
+            mean_track_length=st.mean_track_length,
+            timers={k: t.elapsed for k, t in self.timers.items()},
+        )

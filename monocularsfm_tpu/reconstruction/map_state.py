@@ -1,0 +1,567 @@
+"""World state: registered images, 3D points, tracks — and the BA bridge.
+
+Reference parity: src/Reconstruction/Map.cpp (2127 LoC) — entities and
+business logic:
+  load + one-time keypoint undistortion      (:82-114, helper :45-69)
+  AddImagePose / AddPoint3D / Add+RemoveObservation with color/error
+  bookkeeping                                 (:116-249)
+  Get2D2DCorrespoindencesBetweenImages        (:345-374)
+  Get2D3DCorrespondences (transitive, dedup)  (:375-431)
+  Get2D2DCorrespondences (triangulation work
+  lists, skipping two-view observations)      (:433-492)
+  MergePoints3D (weighted-average position, accept only if every obs of the
+  combined track reprojects < threshold, recursive re-merge)   (:507-651)
+  CompletePoints3D (BFS transitive completion <= max_transitivity hops)
+                                              (:654-760)
+  FilterPoints3D (large-error pass + small-angle pass)         (:804-917)
+  GetLocalBAData (top-5 covisible) / GetGlobalBAData / UpdateFromBAData
+                                              (:965-1206)
+  Statistics                                  (:1210-1319)
+
+TPU-native design: per-image state is struct-of-arrays (undistorted
+keypoints, colors, point3D back-pointers as one int32 array per image);
+points live in growable parallel numpy arrays with a free list; *all* error
+math (reprojection, parallax) is recomputed in vectorised batches instead of
+the reference's incrementally-maintained running averages (whose consistency
+the reference itself has to double-check in Map::Debug, :1874-1902).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from monocularsfm_tpu.ops.undistort import undistort_pixels
+
+
+@dataclasses.dataclass
+class ImageState:
+    image_id: int
+    name: str
+    uv: np.ndarray            # (N, 2) float32 undistorted pixel coords
+    colors: np.ndarray        # (N, 3) uint8
+    point3D: np.ndarray       # (N,) int64 point3D id or -1
+    R: np.ndarray | None = None
+    t: np.ndarray | None = None
+    registered: bool = False
+
+    @property
+    def num_points3D(self) -> int:
+        return int((self.point3D >= 0).sum())
+
+
+@dataclasses.dataclass
+class MapStatistics:
+    num_registered_images: int = 0
+    num_points3D: int = 0
+    num_observations: int = 0
+    mean_track_length: float = 0.0
+    mean_reprojection_error: float = 0.0
+    mean_observations_per_image: float = 0.0
+
+    def __str__(self):
+        return (
+            f"registered images : {self.num_registered_images}\n"
+            f"3D points         : {self.num_points3D}\n"
+            f"observations      : {self.num_observations}\n"
+            f"mean track length : {self.mean_track_length:.3f}\n"
+            f"mean reproj error : {self.mean_reprojection_error:.5f} px\n"
+        )
+
+
+class Map:
+    """Mutable reconstruction state + queries feeding the incremental loop."""
+
+    def __init__(self, K: np.ndarray, dist_coeffs: np.ndarray | None = None):
+        self.K = np.asarray(K, np.float64)
+        self.dist = (
+            np.asarray(dist_coeffs, np.float64)
+            if dist_coeffs is not None
+            else np.zeros(4)
+        )
+        self.images: dict[int, ImageState] = {}
+        self.registered_ids: list[int] = []  # registration order (gauge: [0])
+        self.scene_graph = None  # attached by MapBuilder
+
+        # Point cloud SoA (amortised growth).
+        cap = 1024
+        self._xyz = np.zeros((cap, 3), np.float64)
+        self._rgb = np.zeros((cap, 3), np.float64)   # running mean color
+        self._alive = np.zeros(cap, bool)
+        self._tracks: list[list[tuple[int, int]] | None] = [None] * cap
+        self._num_points = 0
+        self._next_id = 0
+        self.modified_point3D_ids: set[int] = set()
+
+    # -- loading ------------------------------------------------------------
+    def load_image(self, image_id: int, name: str, keypoints_xy: np.ndarray,
+                   colors: np.ndarray | None = None):
+        """Register image features; undistorts once like the reference."""
+        uv = np.asarray(keypoints_xy[:, :2], np.float64)
+        if np.any(self.dist != 0):
+            uv = np.asarray(undistort_pixels(uv, self.K, self.dist), np.float64)
+        n = len(uv)
+        self.images[image_id] = ImageState(
+            image_id=image_id,
+            name=name,
+            uv=uv.astype(np.float32),
+            colors=(
+                colors.astype(np.uint8) if colors is not None
+                else np.zeros((n, 3), np.uint8)
+            ),
+            point3D=np.full(n, -1, np.int64),
+        )
+
+    # -- basic mutations -----------------------------------------------------
+    def add_image_pose(self, image_id: int, R: np.ndarray, t: np.ndarray):
+        im = self.images[image_id]
+        im.R = np.asarray(R, np.float64)
+        im.t = np.asarray(t, np.float64).reshape(3)
+        im.registered = True
+        self.registered_ids.append(image_id)
+        # Reference AddImagePose clears the modified set (Map.cpp:125):
+        # "modified" ~= touched since this image was registered.
+        self.modified_point3D_ids.clear()
+
+    def _grow(self):
+        cap = len(self._alive)
+        if self._next_id < cap:
+            return
+        new_cap = cap * 2
+        for name in ("_xyz", "_rgb"):
+            arr = getattr(self, name)
+            grown = np.zeros((new_cap,) + arr.shape[1:], arr.dtype)
+            grown[:cap] = arr
+            setattr(self, name, grown)
+        alive = np.zeros(new_cap, bool)
+        alive[:cap] = self._alive
+        self._alive = alive
+        self._tracks.extend([None] * (new_cap - cap))
+
+    def add_point3d(self, xyz: np.ndarray, track: list[tuple[int, int]]) -> int:
+        """New 3D point observed by track = [(image_id, kpt_idx), ...]."""
+        self._grow()
+        pid = self._next_id
+        self._next_id += 1
+        self._xyz[pid] = xyz
+        self._alive[pid] = True
+        self._tracks[pid] = []
+        self._num_points += 1
+        colors = []
+        for img_id, kpt in track:
+            self._add_track_element(pid, img_id, kpt)
+            colors.append(self.images[img_id].colors[kpt])
+        self._rgb[pid] = np.mean(colors, axis=0) if colors else 0
+        self.modified_point3D_ids.add(pid)
+        return pid
+
+    def _add_track_element(self, pid: int, image_id: int, kpt: int):
+        im = self.images[image_id]
+        assert im.point3D[kpt] < 0, (image_id, kpt, im.point3D[kpt], pid)
+        im.point3D[kpt] = pid
+        self._tracks[pid].append((image_id, kpt))
+
+    def add_observation(self, pid: int, image_id: int, kpt: int):
+        self._add_track_element(pid, image_id, kpt)
+        self.modified_point3D_ids.add(pid)
+
+    def remove_observation(self, pid: int, image_id: int, kpt: int):
+        im = self.images[image_id]
+        im.point3D[kpt] = -1
+        self._tracks[pid].remove((image_id, kpt))
+        if len(self._tracks[pid]) < 2:
+            self.delete_point3d(pid)
+
+    def delete_point3d(self, pid: int):
+        for image_id, kpt in self._tracks[pid]:
+            self.images[image_id].point3D[kpt] = -1
+        self._tracks[pid] = None
+        self._alive[pid] = False
+        self._num_points -= 1
+        self.modified_point3D_ids.discard(pid)
+
+    # -- accessors -----------------------------------------------------------
+    @property
+    def num_points3D(self) -> int:
+        return self._num_points
+
+    def point_ids(self) -> np.ndarray:
+        return np.nonzero(self._alive[: self._next_id])[0]
+
+    def xyz(self, pid: int) -> np.ndarray:
+        return self._xyz[pid]
+
+    def track(self, pid: int) -> list[tuple[int, int]]:
+        return self._tracks[pid]
+
+    def color(self, pid: int) -> np.ndarray:
+        return self._rgb[pid]
+
+    # -- geometry helpers (vectorised, numpy) --------------------------------
+    def _project(self, image_id: int, X: np.ndarray) -> np.ndarray:
+        im = self.images[image_id]
+        xc = X @ im.R.T + im.t
+        z = np.where(np.abs(xc[..., 2:3]) < 1e-9, 1e-9, xc[..., 2:3])
+        xn = xc[..., :2] / z
+        return xn * [self.K[0, 0], self.K[1, 1]] + [self.K[0, 2], self.K[1, 2]]
+
+    def reproj_errors_of_track(self, pid: int) -> np.ndarray:
+        X = self._xyz[pid]
+        errs = []
+        for image_id, kpt in self._tracks[pid]:
+            uv = self.images[image_id].uv[kpt]
+            errs.append(np.linalg.norm(self._project(image_id, X) - uv))
+        return np.array(errs)
+
+    def track_parallax_ok(self, pid: int, min_angle_deg: float) -> bool:
+        """Some pair of observing cameras must reach min parallax angle."""
+        tr = self._tracks[pid]
+        if len(tr) < 2:
+            return False
+        X = self._xyz[pid]
+        centers = np.array(
+            [-self.images[i].R.T @ self.images[i].t for i, _ in tr]
+        )
+        d = centers - X
+        norms = np.linalg.norm(d, axis=1)
+        dn = d / np.maximum(norms[:, None], 1e-12)
+        cos = np.clip(dn @ dn.T, -1, 1)
+        ang = np.degrees(np.arccos(cos))
+        ang = np.where(ang > 90, 180 - ang, ang)
+        iu = np.triu_indices(len(tr), 1)
+        return bool((ang[iu] >= min_angle_deg).any())
+
+    # -- correspondence queries (feed the engines) ---------------------------
+    def get_2d2d_between(self, id1: int, id2: int):
+        """(kpt pairs (N,2), uv1 (N,2), uv2 (N,2)) between two images."""
+        pairs = self.scene_graph.find_correspondences_between_images(id1, id2)
+        uv1 = self.images[id1].uv[pairs[:, 0]] if len(pairs) else np.zeros((0, 2))
+        uv2 = self.images[id2].uv[pairs[:, 1]] if len(pairs) else np.zeros((0, 2))
+        return pairs, uv1, uv2
+
+    def get_2d3d(self, image_id: int):
+        """PnP feed: keypoints of `image_id` whose correspondents already
+        have 3D points (transitive lookup + dedup, Map.cpp:375-431).
+
+        Returns (kpt_idx (M,), point3D_ids (M,), uv (M,2), xyz (M,3))."""
+        im = self.images[image_id]
+        ptr, adj_img, adj_kpt = self.scene_graph.correspondences_of_image(image_id)
+        kpt_idx, pids = [], []
+        for k in range(len(ptr) - 1):
+            s, e = ptr[k], ptr[k + 1]
+            if s == e:
+                continue
+            seen = -1
+            for j in range(s, e):
+                other = self.images.get(int(adj_img[j]))
+                if other is None or not other.registered:
+                    continue
+                pid = other.point3D[adj_kpt[j]]
+                if pid >= 0:
+                    seen = int(pid)
+                    break
+            if seen >= 0:
+                kpt_idx.append(k)
+                pids.append(seen)
+        if not kpt_idx:
+            z2, z3 = np.zeros((0, 2)), np.zeros((0, 3))
+            return np.zeros(0, np.int64), np.zeros(0, np.int64), z2, z3
+        kpt_idx = np.array(kpt_idx)
+        pids = np.array(pids)
+        # Dedup: several keypoints may claim the same 3D point; keep first.
+        _, first = np.unique(pids, return_index=True)
+        keep = np.zeros(len(pids), bool)
+        keep[first] = True
+        kpt_idx, pids = kpt_idx[keep], pids[keep]
+        return kpt_idx, pids, im.uv[kpt_idx], self._xyz[pids]
+
+    def get_triangulation_tracks(self, image_id: int, max_track: int = 16):
+        """Triangulation feed for a newly registered image (Map.cpp:433-492).
+
+        For each keypoint without a 3D point, collect correspondents in
+        *registered* images that also lack a 3D point, skipping features the
+        scene graph proves can only ever be two-view observations seen once.
+
+        Returns list of tracks: each a list [(image_id, kpt), ...] including
+        (image_id, k) itself, length >= 2, capped at max_track.
+        """
+        im = self.images[image_id]
+        ptr, adj_img, adj_kpt = self.scene_graph.correspondences_of_image(image_id)
+        out = []
+        for k in range(len(ptr) - 1):
+            if im.point3D[k] >= 0:
+                continue
+            s, e = ptr[k], ptr[k + 1]
+            if s == e:
+                continue
+            track = [(image_id, k)]
+            for j in range(s, e):
+                oid = int(adj_img[j])
+                other = self.images.get(oid)
+                if other is None or not other.registered:
+                    continue
+                if other.point3D[adj_kpt[j]] >= 0:
+                    continue
+                track.append((oid, int(adj_kpt[j])))
+                if len(track) >= max_track:
+                    break
+            if len(track) >= 2:
+                out.append((k, track))
+        return out
+
+    def count_correspondences_with_registered(self, image_id: int) -> int:
+        ptr, adj_img, _ = self.scene_graph.correspondences_of_image(image_id)
+        reg = {i for i in self.registered_ids}
+        return int(np.isin(adj_img, list(reg)).sum()) if reg else 0
+
+    # -- track maintenance ---------------------------------------------------
+    def merge_points(self, point_ids, max_error_px: float = 4.0) -> int:
+        """MergePoints3D (Map.cpp:507-651): for each candidate point, try to
+        merge with differently-assigned correspondents; accept only if every
+        observation of the merged track reprojects under the threshold.
+        Weighted-average position by track length."""
+        merged = 0
+        queue = [int(p) for p in point_ids]
+        while queue:
+            pid = queue.pop()
+            if not self._alive[pid]:
+                continue
+            partner = self._find_merge_partner(pid)
+            if partner is None:
+                continue
+            new_pid = self._merge_two(pid, partner, max_error_px)
+            if new_pid is not None:
+                merged += 1
+                queue.append(new_pid)  # recursive re-merge
+        return merged
+
+    def _find_merge_partner(self, pid: int):
+        for image_id, kpt in self._tracks[pid]:
+            imgs, kpts = self.scene_graph.find_correspondences(image_id, kpt)
+            for oid, okpt in zip(imgs, kpts):
+                other = self.images.get(int(oid))
+                if other is None or not other.registered:
+                    continue
+                qid = other.point3D[okpt]
+                if qid >= 0 and qid != pid:
+                    return int(qid)
+        return None
+
+    def _merge_two(self, pid: int, qid: int, max_error_px: float):
+        """MergeTwoPoint3D: weighted average, all-obs reprojection test."""
+        t1, t2 = self._tracks[pid], self._tracks[qid]
+        n1, n2 = len(t1), len(t2)
+        X = (self._xyz[pid] * n1 + self._xyz[qid] * n2) / (n1 + n2)
+        # Combined track may double-assign a keypoint — reject those merges.
+        seen = set()
+        combined = []
+        for image_id, kpt in t1 + t2:
+            if (image_id, kpt) in seen:
+                return None
+            seen.add((image_id, kpt))
+            combined.append((image_id, kpt))
+        for image_id, kpt in combined:
+            uv = self.images[image_id].uv[kpt]
+            if np.linalg.norm(self._project(image_id, X) - uv) > max_error_px:
+                return None
+        # Accept: delete both, create merged point.
+        rgb = (self._rgb[pid] * n1 + self._rgb[qid] * n2) / (n1 + n2)
+        self.delete_point3d(pid)
+        self.delete_point3d(qid)
+        new_pid = self.add_point3d(X, combined)
+        self._rgb[new_pid] = rgb
+        return new_pid
+
+    def complete_points(self, point_ids, max_error_px: float = 4.0,
+                        max_transitivity: int = 5) -> int:
+        """CompletePoints3D (Map.cpp:654-760): BFS outward along the scene
+        graph from each track element; attach unassigned correspondents in
+        registered images whose reprojection error is under threshold."""
+        completed = 0
+        for pid in point_ids:
+            pid = int(pid)
+            if not self._alive[pid]:
+                continue
+            X = self._xyz[pid]
+            frontier = list(self._tracks[pid])
+            visited = set(frontier)
+            for _ in range(max_transitivity):
+                next_frontier = []
+                for image_id, kpt in frontier:
+                    imgs, kpts = self.scene_graph.find_correspondences(image_id, kpt)
+                    for oid, okpt in zip(imgs, kpts):
+                        oid, okpt = int(oid), int(okpt)
+                        if (oid, okpt) in visited:
+                            continue
+                        visited.add((oid, okpt))
+                        other = self.images.get(oid)
+                        if other is None or not other.registered:
+                            continue
+                        if other.point3D[okpt] >= 0:
+                            continue
+                        uv = other.uv[okpt]
+                        if np.linalg.norm(self._project(oid, X) - uv) <= max_error_px:
+                            self.add_observation(pid, oid, okpt)
+                            completed += 1
+                            next_frontier.append((oid, okpt))
+                if not next_frontier:
+                    break
+                frontier = next_frontier
+        return completed
+
+    def filter_points(self, point_ids, max_error_px: float = 4.0,
+                      min_tri_angle_deg: float = 1.5) -> int:
+        """FilterPoints3D (Map.cpp:804-917): drop large-error observations
+        (whole point if its track shrinks below 2), then drop points whose
+        best pairwise parallax is under the threshold."""
+        removed = 0
+        for pid in point_ids:
+            pid = int(pid)
+            if not self._alive[pid]:
+                continue
+            errs = self.reproj_errors_of_track(pid)
+            bad = np.nonzero(errs > max_error_px)[0]
+            if len(bad):
+                track = list(self._tracks[pid])
+                for b in bad:
+                    image_id, kpt = track[b]
+                    if not self._alive[pid]:
+                        break
+                    self.remove_observation(pid, image_id, kpt)
+                    removed += 1
+                if not self._alive[pid]:
+                    continue
+            if not self.track_parallax_ok(pid, min_tri_angle_deg):
+                removed += len(self._tracks[pid])
+                self.delete_point3d(pid)
+        return removed
+
+    # -- BA bridge -----------------------------------------------------------
+    def _ba_problem_from(self, image_ids: list[int], const_ids: set[int],
+                         track_width: int = 16):
+        """Build a fixed-shape BundleProblem over the given images and every
+        3D point any of them observes; measurements only from in-bundle
+        images (Map.cpp:1096-1097)."""
+        from monocularsfm_tpu.optim import make_bundle_problem
+
+        def _pad_to(x, m):
+            return ((x + m - 1) // m) * m
+
+        img_set = set(image_ids)
+        pids = sorted(
+            {
+                int(self.images[i].point3D[k])
+                for i in image_ids
+                for k in np.nonzero(self.images[i].point3D >= 0)[0]
+            }
+        )
+        # Index maps.
+        cam_index = {img: c for c, img in enumerate(image_ids)}
+        C = max(_pad_to(len(image_ids), 8), 8)
+        Pn = max(_pad_to(len(pids), 256), 256)
+        T = track_width
+
+        R = np.tile(np.eye(3), (C, 1, 1)).astype(np.float32)
+        t = np.zeros((C, 3), np.float32)
+        for img, c in cam_index.items():
+            R[c] = self.images[img].R
+            t[c] = self.images[img].t
+        X = np.zeros((Pn, 3), np.float32)
+        obs_cam = np.zeros((Pn, T), np.int32)
+        obs_uv = np.zeros((Pn, T, 2), np.float32)
+        obs_valid = np.zeros((Pn, T), bool)
+        for p, pid in enumerate(pids):
+            X[p] = self._xyz[pid]
+            slot = 0
+            for image_id, kpt in self._tracks[pid]:
+                if image_id not in img_set or slot >= T:
+                    continue
+                obs_cam[p, slot] = cam_index[image_id]
+                obs_uv[p, slot] = self.images[image_id].uv[kpt]
+                obs_valid[p, slot] = True
+                slot += 1
+        cam_valid = np.zeros(C, bool)
+        cam_valid[: len(image_ids)] = True
+        cam_const = np.zeros(C, bool)
+        for img in const_ids:
+            cam_const[cam_index[img]] = True
+        point_valid = np.zeros(Pn, bool)
+        point_valid[: len(pids)] = obs_valid[: len(pids)].sum(axis=1) >= 2
+        K4 = np.array(
+            [self.K[0, 0], self.K[1, 1], self.K[0, 2], self.K[1, 2]], np.float32
+        )
+        prob = make_bundle_problem(
+            K4, R, t, X, obs_cam, obs_uv, obs_valid, cam_const,
+            cam_valid=cam_valid, point_valid=point_valid,
+        )
+        return prob, image_ids, pids
+
+    def get_local_ba_data(self, image_id: int, window: int = 5):
+        """Local bundle: newest image + top-`window` covisible registered
+        images (Map.cpp:965-1115).  Reference quirk reproduced: the pinned
+        pose is the *last id in the list* (the weakest covisible image), not
+        the newest (Map.cpp:1078) — documented gauge-fixing quirk."""
+        covis: dict[int, int] = {}
+        im = self.images[image_id]
+        for k in np.nonzero(im.point3D >= 0)[0]:
+            pid = im.point3D[k]
+            for oid, _ in self._tracks[pid]:
+                if oid != image_id and self.images[oid].registered:
+                    covis[oid] = covis.get(oid, 0) + 1
+        top = sorted(covis, key=lambda i: -covis[i])[:window]
+        ids = [image_id] + top
+        const = {ids[-1]} if len(ids) > 1 else set()
+        return self._ba_problem_from(ids, const)
+
+    def get_global_ba_data(self):
+        """Global bundle over all registered images; first registered image
+        pinned (Map.cpp:1138)."""
+        ids = list(self.registered_ids)
+        const = {ids[0]} if ids else set()
+        return self._ba_problem_from(ids, const)
+
+    def update_from_ba(self, result, image_ids: list[int], pids: list[int]):
+        """Write back optimised poses/points (Map.cpp:1175-1206)."""
+        R = np.asarray(result["R"], np.float64)
+        t = np.asarray(result["t"], np.float64)
+        X = np.asarray(result["X"], np.float64)
+        for c, img in enumerate(image_ids):
+            self.images[img].R = R[c]
+            self.images[img].t = t[c]
+        for p, pid in enumerate(pids):
+            if self._alive[pid]:
+                self._xyz[pid] = X[p]
+        self.modified_point3D_ids.update(int(p) for p in pids)
+
+    # -- statistics ----------------------------------------------------------
+    def statistics(self) -> MapStatistics:
+        pids = self.point_ids()
+        num_obs = 0
+        err_sum = 0.0
+        for pid in pids:
+            errs = self.reproj_errors_of_track(int(pid))
+            num_obs += len(errs)
+            err_sum += float(errs.sum())
+        n_pts = len(pids)
+        n_reg = len(self.registered_ids)
+        return MapStatistics(
+            num_registered_images=n_reg,
+            num_points3D=n_pts,
+            num_observations=num_obs,
+            mean_track_length=num_obs / n_pts if n_pts else 0.0,
+            mean_reprojection_error=err_sum / num_obs if num_obs else 0.0,
+            mean_observations_per_image=num_obs / n_reg if n_reg else 0.0,
+        )
+
+    def debug_check(self):
+        """Map::Debug invariant (Map.cpp:1874-1902): every track element
+        back-pointer must be consistent."""
+        for pid in self.point_ids():
+            for image_id, kpt in self._tracks[int(pid)]:
+                assert self.images[image_id].point3D[kpt] == pid
+        for image_id, im in self.images.items():
+            for kpt in np.nonzero(im.point3D >= 0)[0]:
+                pid = int(im.point3D[kpt])
+                assert self._alive[pid]
+                assert (image_id, int(kpt)) in self._tracks[pid]

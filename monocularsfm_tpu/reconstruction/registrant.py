@@ -1,0 +1,67 @@
+"""Image registration: absolute pose from 2D-3D correspondences.
+
+Reference parity: src/Reconstruction/Registrant.cpp — solvePnPRansac with
+>= 15 inliers / 4 px / conf .9999 (Registrant.h:22-27), Rodrigues conversion
+(:96-97), per-point residual report (:100-110).  Device path: the batched
+P6P RANSAC + GN polish in estimators/pnp.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from monocularsfm_tpu.config import RegistrantConfig
+from monocularsfm_tpu.estimators import estimate_pnp_ransac
+
+
+@dataclasses.dataclass
+class RegistrantStatistics:
+    is_succeed: bool = False
+    num_point2D_3D_correspondences: int = 0
+    num_inliers: int = 0
+    ave_residual: float = 0.0
+
+
+def _pad_cap(n: int, minimum: int = 512) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class Registrant:
+    def __init__(self, K: np.ndarray, config: RegistrantConfig | None = None):
+        self.K = np.asarray(K, np.float64)
+        self.cfg = config or RegistrantConfig()
+        self._key = jax.random.PRNGKey(7)
+
+    def register(self, xyz: np.ndarray, uv: np.ndarray):
+        """Returns (stats, R, t, inlier_mask (n,)) — Nones on failure."""
+        cfg = self.cfg
+        stats = RegistrantStatistics(num_point2D_3D_correspondences=len(xyz))
+        if len(xyz) < cfg.abs_pose_min_num_inliers:
+            return stats, None, None, None
+        n = len(xyz)
+        cap = _pad_cap(n)
+        X = np.zeros((cap, 3), np.float32)
+        U = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        X[:n], U[:n], m[:n] = xyz, uv, True
+        self._key, key = jax.random.split(self._key)
+        out = estimate_pnp_ransac(
+            key, jnp.asarray(self.K.astype(np.float32)),
+            jnp.asarray(X), jnp.asarray(U), jnp.asarray(m),
+            threshold_px=cfg.abs_pose_max_error_px,
+            num_hyps=cfg.ransac_iterations,
+        )
+        stats.num_inliers = int(out["num_inliers"])
+        stats.ave_residual = float(out["mean_inlier_error_px"])
+        if stats.num_inliers < cfg.abs_pose_min_num_inliers:
+            return stats, None, None, None
+        stats.is_succeed = True
+        inl = np.asarray(out["inliers"])[:n]
+        return stats, np.asarray(out["R"], np.float64), np.asarray(out["t"], np.float64), inl

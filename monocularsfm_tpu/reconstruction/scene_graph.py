@@ -1,0 +1,149 @@
+"""Feature-correspondence graph (CSR over all verified matches).
+
+Reference parity: src/Reconstruction/SceneGraph.cpp —
+  Load: keep pairs with >= min_num_matches matches (:11-85); note the
+        reference writes Finalize() (prune isolated images) but never calls
+        it (:80) — we reproduce that by default (finalize=False).
+  Queries: FindCorrespondences (:253-258), FindCorrespondencesBetweenImages
+        (:261-277), IsTwoViewObservation (:285-298), counts (:131-158).
+
+TPU-native design: instead of per-keypoint vector<(image, idx)> hash-maps,
+the whole graph is three flat int32 arrays in CSR form, built once on the
+host and cheap to slice into device dispatches.  Keys are (image_id,
+keypoint_idx) pairs flattened as image_offset + kpt.
+"""
+
+from __future__ import annotations
+
+import collections
+
+import numpy as np
+
+
+class SceneGraph:
+    """Correspondence graph over verified matches."""
+
+    def __init__(self):
+        self.image_ids: list[int] = []
+        self.num_keypoints: dict[int, int] = {}
+        # CSR: node = (image, kpt) -> flat node id.
+        self._node_offset: dict[int, int] = {}
+        self._indptr: np.ndarray | None = None     # (num_nodes + 1,)
+        self._adj_image: np.ndarray | None = None  # (num_edges,) image id
+        self._adj_kpt: np.ndarray | None = None    # (num_edges,) keypoint idx
+        # Per-pair match count (for schedulers / init pair choice).
+        self.pair_matches: dict[tuple[int, int], int] = {}
+        # Nodes that appear in exactly one pair (two-view observations).
+        self._two_view: np.ndarray | None = None
+
+    # -- construction ------------------------------------------------------
+    def load(self, matches: dict[tuple[int, int], np.ndarray],
+             num_keypoints: dict[int, int], min_num_matches: int = 10,
+             finalize: bool = False):
+        """Build from {(id1 < id2): (N, 2) int32 match arrays}.
+
+        matches indices are keypoint ids into each image's keypoint list.
+        """
+        kept = {
+            pair: m for pair, m in matches.items() if len(m) >= min_num_matches
+        }
+        self.pair_matches = {pair: len(m) for pair, m in kept.items()}
+        images = set()
+        for (i, j) in kept:
+            images.add(i)
+            images.add(j)
+        if finalize:
+            num_keypoints = {i: n for i, n in num_keypoints.items() if i in images}
+        self.image_ids = sorted(num_keypoints.keys())
+        self.num_keypoints = dict(num_keypoints)
+
+        offset = 0
+        for i in self.image_ids:
+            self._node_offset[i] = offset
+            offset += self.num_keypoints[i]
+        num_nodes = offset
+
+        counts = np.zeros(num_nodes + 1, np.int64)
+        for (i, j), m in kept.items():
+            oi, oj = self._node_offset[i], self._node_offset[j]
+            np.add.at(counts, oi + m[:, 0] + 1, 1)
+            np.add.at(counts, oj + m[:, 1] + 1, 1)
+        indptr = np.cumsum(counts)
+        adj_image = np.zeros(indptr[-1], np.int32)
+        adj_kpt = np.zeros(indptr[-1], np.int32)
+        cursor = indptr[:-1].copy()
+        for (i, j), m in kept.items():
+            oi, oj = self._node_offset[i], self._node_offset[j]
+            pos_i = cursor[oi + m[:, 0]]
+            adj_image[pos_i] = j
+            adj_kpt[pos_i] = m[:, 1]
+            cursor[oi + m[:, 0]] += 1
+            pos_j = cursor[oj + m[:, 1]]
+            adj_image[pos_j] = i
+            adj_kpt[pos_j] = m[:, 0]
+            cursor[oj + m[:, 1]] += 1
+        self._indptr = indptr
+        self._adj_image = adj_image
+        self._adj_kpt = adj_kpt
+        degree = np.diff(indptr)
+        self._two_view = degree == 1
+        return self
+
+    # -- queries -----------------------------------------------------------
+    def _flat(self, image_id: int, kpt: int) -> int:
+        return self._node_offset[image_id] + kpt
+
+    def has_image(self, image_id: int) -> bool:
+        return image_id in self._node_offset
+
+    def find_correspondences(self, image_id: int, kpt: int):
+        """All (image_id, kpt) observing the same feature. -> (ids, kpts)."""
+        f = self._flat(image_id, kpt)
+        s, e = self._indptr[f], self._indptr[f + 1]
+        return self._adj_image[s:e], self._adj_kpt[s:e]
+
+    def correspondences_of_image(self, image_id: int):
+        """CSR slice for every keypoint of one image.
+
+        Returns (indptr (K+1,), adj_image, adj_kpt) local arrays."""
+        o = self._node_offset[image_id]
+        k = self.num_keypoints[image_id]
+        s, e = self._indptr[o], self._indptr[o + k]
+        local_ptr = self._indptr[o : o + k + 1] - s
+        return local_ptr, self._adj_image[s:e], self._adj_kpt[s:e]
+
+    def find_correspondences_between_images(self, id1: int, id2: int) -> np.ndarray:
+        """(N, 2) keypoint index pairs matched between the two images."""
+        ptr, adj_img, adj_kpt = self.correspondences_of_image(id1)
+        mask = adj_img == id2
+        if not mask.any():
+            return np.zeros((0, 2), np.int32)
+        # Row index for each adjacency entry.
+        rows = np.repeat(np.arange(len(ptr) - 1, dtype=np.int32), np.diff(ptr))
+        return np.stack([rows[mask], adj_kpt[mask]], axis=1)
+
+    def is_two_view_observation(self, image_id: int, kpt: int) -> bool:
+        """True if this feature is seen by exactly two images total.
+
+        (Reference SceneGraph.cpp:285-298: such features can never grow a
+        longer track, so triangulation skips them.)"""
+        f = self._flat(image_id, kpt)
+        if not self._two_view[f]:
+            return False
+        imgs, kpts = self.find_correspondences(image_id, kpt)
+        g = self._flat(int(imgs[0]), int(kpts[0]))
+        return bool(self._two_view[g])
+
+    def num_correspondences(self, image_id: int) -> int:
+        o = self._node_offset[image_id]
+        k = self.num_keypoints[image_id]
+        return int(self._indptr[o + k] - self._indptr[o])
+
+    def num_observations_of_image(self, image_id: int) -> int:
+        """Number of keypoints with at least one correspondence."""
+        ptr, _, _ = self.correspondences_of_image(image_id)
+        return int((np.diff(ptr) > 0).sum())
+
+    def edges(self):
+        """Unique image-pair adjacency with match counts (for RegisterGraph)."""
+        return dict(self.pair_matches)
