@@ -1,0 +1,207 @@
+"""Matching stage: pair scheduling on host, batched matching on device.
+
+Reference parity: src/Feature/FeatureMatching.cpp —
+  MatchImagePairs pipeline: skip-if-exists -> cross/ratio match -> distance
+  filter -> F-RANSAC geometric verification -> WriteMatches (:10-73)
+  SequentialFeatureMatcher: each image vs previous `overlap` (:75-100)
+  BruteFeatureMatcher: all pairs i>j in batches, optional VisualSFM-style
+  preemptive filter on top-100-scale descriptors, keep pair if >= 4 matches
+  (:102-178, citing Wu 2013)
+
+TPU-native design: descriptors live in a device-resident bank
+(num_images, cap, 128); the host only decides *which* pairs to run; each
+dispatch matches a whole slab of pairs (ops/matching.py), then geometric
+verification runs as hypothesis-parallel F-RANSAC.  Every scheduling policy
+is just a different pair-list generator feeding the same batched kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from monocularsfm_tpu.config import MatchingConfig
+from monocularsfm_tpu.database import Database
+from monocularsfm_tpu.estimators import estimate_fundamental_ransac
+from monocularsfm_tpu.ops.matching import match_pairs_batch, matches_to_pairs
+
+
+def _pad_pow2(n: int, minimum: int = 1024) -> int:
+    cap = minimum
+    while cap < n:
+        cap *= 2
+    return cap
+
+
+class _MatcherBase:
+    def __init__(self, config: MatchingConfig | None = None):
+        self.cfg = config or MatchingConfig()
+        self._key = jax.random.PRNGKey(1234)
+
+    # -- descriptor bank -----------------------------------------------------
+    def _load_bank(self, db: Database, image_ids: list[int]):
+        """Device-resident (I, cap, 128) descriptor bank + masks + keypoints."""
+        descs = {}
+        kps = {}
+        cap = 0
+        for i in image_ids:
+            d = db.read_descriptors(i)
+            k = db.read_keypoints(i)
+            if d is None or k is None:
+                raise KeyError(f"image {i} has no features in the database")
+            descs[i] = d
+            kps[i] = k
+            cap = max(cap, len(d))
+        cap = _pad_pow2(cap)
+        bank = np.zeros((len(image_ids), cap, 128), np.float32)
+        mask = np.zeros((len(image_ids), cap), bool)
+        for row, i in enumerate(image_ids):
+            n = len(descs[i])
+            bank[row, :n] = descs[i]
+            mask[row, :n] = True
+        return jnp.asarray(bank), jnp.asarray(mask), kps, cap
+
+    # -- geometric verification ---------------------------------------------
+    def _verify(self, uv1: np.ndarray, uv2: np.ndarray):
+        """F-RANSAC inlier mask (FeatureUtils::FilterMatches semantics)."""
+        n = len(uv1)
+        if n < 8:
+            return np.zeros(n, bool)
+        cap = _pad_pow2(n, minimum=512)
+        x1 = np.zeros((cap, 2), np.float32)
+        x2 = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        x1[:n], x2[:n], m[:n] = uv1, uv2, True
+        self._key, key = jax.random.split(self._key)
+        out = estimate_fundamental_ransac(
+            key, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
+            threshold_px=self.cfg.ransac_threshold_px,
+            num_hyps=self.cfg.ransac_iterations,
+        )
+        return np.asarray(out["inliers"])[:n]
+
+    # -- one batched dispatch over a pair slab -------------------------------
+    def _match_and_verify_pairs(self, db, bank, mask, kps, image_ids, pairs,
+                                log=print) -> int:
+        """pairs: list of (image_id_a, image_id_b). Returns #pairs written."""
+        row_of = {i: r for r, i in enumerate(image_ids)}
+        written = 0
+        B = self.cfg.pair_batch
+        for start in range(0, len(pairs), B):
+            chunk = [
+                (a, b) for a, b in pairs[start : start + B]
+                if not db.exist_matches(a, b)
+            ]
+            if not chunk:
+                continue
+            # Pad the chunk to the fixed dispatch width.
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            ids = jnp.asarray(
+                [[row_of[a], row_of[b]] for a, b in padded], jnp.int32
+            )
+            idx_b = np.asarray(
+                match_pairs_batch(
+                    bank, mask, ids,
+                    ratio=self.cfg.distance_ratio,
+                    max_distance=self.cfg.max_distance,
+                    cross_check=self.cfg.cross_check,
+                )
+            )
+            for p, (a, b) in enumerate(chunk):
+                i_idx, j_idx = matches_to_pairs(idx_b[p])
+                if len(i_idx) < self.cfg.min_num_matches_verified:
+                    db.write_matches(a, b, np.zeros((0, 2), np.int32))
+                    continue
+                uv1 = kps[a][i_idx, :2]
+                uv2 = kps[b][j_idx, :2]
+                inl = self._verify(uv1, uv2)
+                m = np.stack([i_idx[inl], j_idx[inl]], axis=1).astype(np.int32)
+                if len(m) < self.cfg.min_num_matches_verified:
+                    m = np.zeros((0, 2), np.int32)
+                db.write_matches(a, b, m)
+                written += 1
+                log(f"[match] ({a},{b}): {len(i_idx)} raw -> {len(m)} verified")
+        return written
+
+    # -- preemptive filter (VisualSFM / Wu 2013) -----------------------------
+    def _preemptive_keep(self, db, image_ids, pairs, log=print):
+        """Match top-scale descriptor subsets; keep pairs with >= threshold
+        matches (FeatureMatching.cpp:148-178)."""
+        cfg = self.cfg
+        sub = {}
+        for i in image_ids:
+            d = db.read_descriptors(i)
+            k = db.read_keypoints(i)
+            order = np.argsort(-k[:, 2], kind="stable")[: cfg.preemptive_num_features]
+            sub[i] = d[order]
+        cap = _pad_pow2(cfg.preemptive_num_features, minimum=128)
+        bank = np.zeros((len(image_ids), cap, 128), np.float32)
+        mask = np.zeros((len(image_ids), cap), bool)
+        row_of = {i: r for r, i in enumerate(image_ids)}
+        for i in image_ids:
+            n = len(sub[i])
+            bank[row_of[i], :n] = sub[i]
+            mask[row_of[i], :n] = True
+        bank_j, mask_j = jnp.asarray(bank), jnp.asarray(mask)
+        kept = []
+        B = max(self.cfg.pair_batch * 4, 64)
+        for start in range(0, len(pairs), B):
+            chunk = pairs[start : start + B]
+            padded = chunk + [chunk[-1]] * (B - len(chunk))
+            ids = jnp.asarray([[row_of[a], row_of[b]] for a, b in padded], jnp.int32)
+            idx_b = np.asarray(
+                match_pairs_batch(
+                    bank_j, mask_j, ids,
+                    ratio=cfg.distance_ratio, max_distance=2.0,
+                    cross_check=False, col_tile=cap,
+                )
+            )
+            for p, (a, b) in enumerate(chunk):
+                if (idx_b[p] >= 0).sum() >= cfg.preemptive_min_num_matches:
+                    kept.append((a, b))
+        log(f"[match] preemptive filter kept {len(kept)}/{len(pairs)} pairs")
+        return kept
+
+
+class SequentialFeatureMatcher(_MatcherBase):
+    """Each image vs its `overlap` predecessors (video-style collections)."""
+
+    def run_matching(self, database_path: str, log=print) -> int:
+        db = Database(database_path)
+        try:
+            image_ids = sorted(db.read_all_images().keys())
+            bank, mask, kps, _ = self._load_bank(db, image_ids)
+            pairs = [
+                (image_ids[i - k], image_ids[i])
+                for i in range(len(image_ids))
+                for k in range(1, self.cfg.overlap + 1)
+                if i - k >= 0
+            ]
+            return self._match_and_verify_pairs(
+                db, bank, mask, kps, image_ids, pairs, log
+            )
+        finally:
+            db.close()
+
+
+class BruteFeatureMatcher(_MatcherBase):
+    """All pairs i < j, optional preemptive pruning."""
+
+    def run_matching(self, database_path: str, log=print) -> int:
+        db = Database(database_path)
+        try:
+            image_ids = sorted(db.read_all_images().keys())
+            pairs = [
+                (image_ids[i], image_ids[j])
+                for i in range(len(image_ids))
+                for j in range(i + 1, len(image_ids))
+            ]
+            if self.cfg.is_preemptive:
+                pairs = self._preemptive_keep(db, image_ids, pairs, log)
+            bank, mask, kps, _ = self._load_bank(db, image_ids)
+            return self._match_and_verify_pairs(
+                db, bank, mask, kps, image_ids, pairs, log
+            )
+        finally:
+            db.close()

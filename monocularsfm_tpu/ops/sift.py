@@ -1,0 +1,457 @@
+"""SIFT feature extraction as batched XLA computations.
+
+Reference parity: the reference delegates to cv::SIFT (detect + compute,
+src/Feature/FeatureUtils.cpp:14-36) with max_image_size-downscaling, top-
+scale keypoint retention and L1-root normalisation
+(src/Feature/FeatureExtraction.cpp:51-163, FeatureUtils.cpp:38-96, :260-281).
+
+TPU-native design (not a translation of OpenCV's scalar code):
+
+* Gaussian pyramid: separable 1-D convolutions (lax.conv) per octave,
+  incremental sigmas (sigma0=1.6, 3 scales/octave), optional initial 2x
+  upsample like OpenCV's firstOctave=-1.
+* DoG extrema: one 3x3x3 max/min reduce_window over the whole DoG stack —
+  the 26-neighbour test for every pixel of every scale at once; candidates
+  are selected with a single top_k over |response| (fixed K per octave).
+* Sub-pixel refinement: batched 3x3x3 neighbourhood gather + closed-form
+  3x3 solve (quadratic fit), contrast and edge (Hessian-ratio) rejection —
+  all masked, no per-keypoint loops.
+* Orientation: fixed 16x16 sample grid scaled by keypoint sigma, bilinear
+  gradient sampling, 36-bin histogram via one-hot einsum, circular
+  smoothing, primary + secondary (>= 0.8 peak) orientations.
+* Descriptor: fixed 16x16 rotation-aligned sample grid over the 4x4 cell
+  array; spatial bilinear weights are *constants* (precomputed [256, 16]
+  matrix — an MXU matmul), only the 8-way orientation soft-assignment is
+  data-dependent.  Clip at 0.2, renormalise; L1-root or L2 output.
+
+Everything per-octave is jit-compiled for that octave's static shape.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+_HIGHEST = jax.lax.Precision.HIGHEST
+
+# OpenCV-compatible constants.
+N_SCALES = 3              # nOctaveLayers
+SIGMA0 = 1.6
+CONTRAST_THRESHOLD = 0.04
+EDGE_THRESHOLD = 10.0
+INIT_SIGMA = 0.5          # assumed blur of the input image
+ORI_BINS = 36
+ORI_SIG_FCTR = 1.5
+ORI_PEAK_RATIO = 0.8
+DESC_WIDTH = 4            # 4x4 cells
+DESC_BINS = 8
+DESC_SCL_FCTR = 3.0       # cell size = 3 * sigma
+DESC_MAG_THR = 0.2
+
+
+def gaussian_kernel1d(sigma: float) -> np.ndarray:
+    radius = max(int(math.ceil(3.0 * sigma)), 1)
+    x = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(x * x) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def _blur2d(img: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Separable Gaussian blur with edge padding. img: (H, W)."""
+    k = jnp.asarray(kernel)
+    r = (len(kernel) - 1) // 2
+    x = jnp.pad(img, ((r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_HIGHEST,
+    )[0, 0]
+    x = jnp.pad(x, ((0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[None, None], k[None, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_HIGHEST,
+    )[0, 0]
+    return x
+
+
+def _octave_sigmas():
+    """Per-scale incremental blur sigmas within an octave (OpenCV schedule)."""
+    k = 2.0 ** (1.0 / N_SCALES)
+    sig = [SIGMA0]
+    incr = []
+    for i in range(1, N_SCALES + 3):
+        sig_prev = SIGMA0 * (k ** (i - 1))
+        sig_total = sig_prev * k
+        incr.append(math.sqrt(sig_total ** 2 - sig_prev ** 2))
+        sig.append(sig_total)
+    return sig, incr
+
+
+@functools.partial(jax.jit, static_argnames=("upsample",))
+def _base_image(img: jnp.ndarray, upsample: bool = True) -> jnp.ndarray:
+    """Grayscale [0,1] -> base of octave 0 (optionally 2x upsampled)."""
+    if upsample:
+        H, W = img.shape
+        img = jax.image.resize(img, (2 * H, 2 * W), method="linear")
+        sigma_diff = math.sqrt(max(SIGMA0 ** 2 - 4.0 * INIT_SIGMA ** 2, 0.01))
+    else:
+        sigma_diff = math.sqrt(max(SIGMA0 ** 2 - INIT_SIGMA ** 2, 0.01))
+    return _blur2d(img, gaussian_kernel1d(sigma_diff))
+
+
+def _build_octave(base: jnp.ndarray) -> jnp.ndarray:
+    """base (H, W) already at sigma0 -> gaussian stack (N_SCALES+3, H, W)."""
+    _, incr = _octave_sigmas()
+    imgs = [base]
+    for s in incr:
+        imgs.append(_blur2d(imgs[-1], gaussian_kernel1d(s)))
+    return jnp.stack(imgs)
+
+
+def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample img (H, W) at float coords. Out-of-range clamped."""
+    H, W = img.shape
+    x = jnp.clip(x, 0.0, W - 1.001)
+    y = jnp.clip(y, 0.0, H - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    v00 = img[y0, x0]
+    v01 = img[y0, x0 + 1]
+    v10 = img[y0 + 1, x0]
+    v11 = img[y0 + 1, x0 + 1]
+    return (
+        v00 * (1 - fx) * (1 - fy)
+        + v01 * fx * (1 - fy)
+        + v10 * (1 - fx) * fy
+        + v11 * fx * fy
+    )
+
+
+# Precomputed descriptor-grid constants (module-level, shared by all jits).
+def _desc_grid_constants():
+    """16x16 sample grid in cell units + constant spatial bilinear weights.
+
+    Samples sit at cell coordinates c in [-2, 2] (cell centres at
+    -1.5, -0.5, 0.5, 1.5).  Returns (offsets (256, 2), spatial_w (256, 16),
+    gauss_w (256,))."""
+    lin = (np.arange(16) - 7.5) / 4.0  # in cell units, [-1.875, 1.875]
+    gy, gx = np.meshgrid(lin, lin, indexing="ij")
+    off = np.stack([gx.ravel(), gy.ravel()], axis=1)  # (256, 2) cell units
+    centers = np.array([-1.5, -0.5, 0.5, 1.5])
+    wx = np.maximum(0.0, 1.0 - np.abs(off[:, 0:1] - centers[None, :]))  # (256,4)
+    wy = np.maximum(0.0, 1.0 - np.abs(off[:, 1:2] - centers[None, :]))
+    spatial = (wy[:, :, None] * wx[:, None, :]).reshape(256, 16)
+    gauss = np.exp(-(off[:, 0] ** 2 + off[:, 1] ** 2) / (2 * (DESC_WIDTH / 2) ** 2))
+    return (
+        off.astype(np.float32),
+        spatial.astype(np.float32),
+        gauss.astype(np.float32),
+    )
+
+
+_DESC_OFF, _DESC_SPATIAL_W, _DESC_GAUSS_W = _desc_grid_constants()
+
+# Orientation sampling grid: 16x16 covering radius 4.5 * 1.5 * sigma.
+_ORI_LIN = ((np.arange(16) - 7.5) / 7.5).astype(np.float32)  # [-1, 1]
+_ORI_GY, _ORI_GX = np.meshgrid(_ORI_LIN, _ORI_LIN, indexing="ij")
+_ORI_OFF = np.stack([_ORI_GX.ravel(), _ORI_GY.ravel()], axis=1)  # (256, 2)
+_ORI_GAUSS = np.exp(
+    -(_ORI_OFF[:, 0] ** 2 + _ORI_OFF[:, 1] ** 2) / (2 * (2.0 / 3.0) ** 2)
+).astype(np.float32)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def _detect_octave(gauss: jnp.ndarray, K: int, contrast_thr: float = CONTRAST_THRESHOLD):
+    """Find up to K refined extrema in one octave.
+
+    gauss: (N_SCALES+3, H, W).  Returns dict of (K,)-shaped arrays:
+    x, y (octave pixel coords, subpixel), scale (continuous scale index),
+    sigma_octave (blur sigma in octave units), response, valid.
+    """
+    S, H, W = gauss.shape
+    dog = gauss[1:] - gauss[:-1]  # (N_SCALES+2, H, W)
+
+    big = 1e9
+    maxp = jax.lax.reduce_window(
+        dog, -big, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
+    )[1:-1]
+    minp = jax.lax.reduce_window(
+        dog, big, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
+    )[1:-1]
+    center = dog[1:-1]  # scales 1..N_SCALES
+    prelim_thr = 0.5 * contrast_thr / N_SCALES
+    is_ext = ((center >= maxp) | (center <= minp)) & (jnp.abs(center) > prelim_thr)
+    # Exclude the image border (need room for refinement + sampling).
+    b = 5
+    ys = jax.lax.broadcasted_iota(jnp.int32, center.shape, 1)
+    xs = jax.lax.broadcasted_iota(jnp.int32, center.shape, 2)
+    inside = (ys >= b) & (ys < H - b) & (xs >= b) & (xs < W - b)
+    resp = jnp.where(is_ext & inside, jnp.abs(center), 0.0)
+
+    flat = resp.reshape(-1)
+    vals, idx = jax.lax.top_k(flat, K)
+    scale_i = idx // (H * W) + 1            # dog scale index 1..N_SCALES
+    rem = idx % (H * W)
+    yi = rem // W
+    xi = rem % W
+    cand_valid = vals > 0
+
+    # --- sub-pixel refinement: gather 3x3x3 neighbourhoods --------------------
+    def neighborhood(s, y, x):
+        return jax.lax.dynamic_slice(dog, (s - 1, y - 1, x - 1), (3, 3, 3))
+
+    cube = jax.vmap(neighborhood)(scale_i, yi, xi)  # (K, 3, 3, 3)
+    # Derivatives (finite differences), axes: 0=s, 1=y, 2=x.
+    ds = 0.5 * (cube[:, 2, 1, 1] - cube[:, 0, 1, 1])
+    dy = 0.5 * (cube[:, 1, 2, 1] - cube[:, 1, 0, 1])
+    dx = 0.5 * (cube[:, 1, 1, 2] - cube[:, 1, 1, 0])
+    c = cube[:, 1, 1, 1]
+    dss = cube[:, 2, 1, 1] + cube[:, 0, 1, 1] - 2 * c
+    dyy = cube[:, 1, 2, 1] + cube[:, 1, 0, 1] - 2 * c
+    dxx = cube[:, 1, 1, 2] + cube[:, 1, 1, 0] - 2 * c
+    dsy = 0.25 * (cube[:, 2, 2, 1] - cube[:, 2, 0, 1] - cube[:, 0, 2, 1] + cube[:, 0, 0, 1])
+    dsx = 0.25 * (cube[:, 2, 1, 2] - cube[:, 2, 1, 0] - cube[:, 0, 1, 2] + cube[:, 0, 1, 0])
+    dyx = 0.25 * (cube[:, 1, 2, 2] - cube[:, 1, 2, 0] - cube[:, 1, 0, 2] + cube[:, 1, 0, 0])
+    Hm = jnp.stack(
+        [
+            jnp.stack([dss, dsy, dsx], axis=-1),
+            jnp.stack([dsy, dyy, dyx], axis=-1),
+            jnp.stack([dsx, dyx, dxx], axis=-1),
+        ],
+        axis=-2,
+    )  # (K, 3, 3)
+    g = jnp.stack([ds, dy, dx], axis=-1)
+    # Damped solve keeps singular Hessians harmless (those get rejected).
+    eye = jnp.eye(3, dtype=jnp.float32) * 1e-6
+    off = -jnp.linalg.solve(Hm + eye, g[..., None])[..., 0]  # (K, 3) s,y,x
+    off_ok = jnp.all(jnp.abs(off) < 1.5, axis=-1)
+    # Refined contrast (OpenCV test: |D_hat| * N >= contrastThreshold).
+    d_hat = c + 0.5 * jnp.sum(g * off, axis=-1)
+    contrast_ok = jnp.abs(d_hat) * N_SCALES >= contrast_thr
+    # Edge response on the 2x2 spatial Hessian.
+    tr = dyy + dxx
+    det = dyy * dxx - dyx * dyx
+    r = EDGE_THRESHOLD
+    edge_ok = (det > 0) & (tr * tr * r < (r + 1) * (r + 1) * det)
+
+    valid = cand_valid & off_ok & contrast_ok & edge_ok
+    scale_f = scale_i.astype(jnp.float32) + off[:, 0]
+    y_f = yi.astype(jnp.float32) + off[:, 1]
+    x_f = xi.astype(jnp.float32) + off[:, 2]
+    sigma_octave = SIGMA0 * (2.0 ** ((scale_f - 1.0) / N_SCALES))
+    return {
+        "x": x_f,
+        "y": y_f,
+        "scale_i": jnp.clip(scale_i, 1, N_SCALES),
+        "scale": scale_f,
+        "sigma_octave": sigma_octave,
+        "response": jnp.abs(d_hat),
+        "valid": valid,
+    }
+
+
+@jax.jit
+def _orient_and_describe(gauss: jnp.ndarray, det: dict):
+    """Orientation histograms + descriptors for one octave's candidates.
+
+    gauss: (N_SCALES+3, H, W); det: output of _detect_octave.
+    Returns (angles (K, 2), angle_valid (K, 2), desc (K, 2, 128)) — up to
+    two orientations (primary, secondary peak) per keypoint.
+    """
+    S, H, W = gauss.shape
+    # Gradients of every scale once.
+    gx = jnp.zeros_like(gauss)
+    gx = gx.at[:, :, 1:-1].set(0.5 * (gauss[:, :, 2:] - gauss[:, :, :-2]))
+    gy = jnp.zeros_like(gauss)
+    gy = gy.at[:, 1:-1, :].set(0.5 * (gauss[:, 2:, :] - gauss[:, :-2, :]))
+
+    x = det["x"]
+    y = det["y"]
+    sig = det["sigma_octave"]
+    scale_i = det["scale_i"]
+
+    ori_off = jnp.asarray(_ORI_OFF)        # (256, 2) in [-1, 1]
+    ori_gw = jnp.asarray(_ORI_GAUSS)       # (256,)
+
+    def per_kpt_orientation(xk, yk, sk, si):
+        radius = 4.5 * ORI_SIG_FCTR * sk
+        sx = xk + ori_off[:, 0] * radius
+        sy = yk + ori_off[:, 1] * radius
+        gxs = _bilinear(gx[si], sx, sy)
+        gys = _bilinear(gy[si], sx, sy)
+        mag = jnp.sqrt(gxs * gxs + gys * gys)
+        ang = jnp.arctan2(gys, gxs)  # (-pi, pi]
+        binf = (ang + jnp.pi) / (2 * jnp.pi) * ORI_BINS
+        b0 = jnp.floor(binf).astype(jnp.int32) % ORI_BINS
+        frac = binf - jnp.floor(binf)
+        w = mag * ori_gw
+        hist = (
+            jax.ops.segment_sum(w * (1 - frac), b0, num_segments=ORI_BINS)
+            + jax.ops.segment_sum(w * frac, (b0 + 1) % ORI_BINS, num_segments=ORI_BINS)
+        )
+        # Circular smoothing [1 4 6 4 1] / 16, twice.
+        def smooth(h):
+            return (
+                jnp.roll(h, 2) + 4 * jnp.roll(h, 1) + 6 * h
+                + 4 * jnp.roll(h, -1) + jnp.roll(h, -2)
+            ) / 16.0
+
+        hist = smooth(smooth(hist))
+        peak = jnp.max(hist)
+        # Primary peak with parabolic interpolation.
+        def interp_angle(b):
+            l = hist[(b - 1) % ORI_BINS]
+            cme = hist[b]
+            rr = hist[(b + 1) % ORI_BINS]
+            denom = l - 2 * cme + rr
+            off_b = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (l - rr) / denom, 0.0)
+            bin_pos = (b.astype(jnp.float32) + off_b) % ORI_BINS
+            return bin_pos / ORI_BINS * 2 * jnp.pi - jnp.pi
+
+        b1 = jnp.argmax(hist)
+        a1 = interp_angle(b1)
+        # Secondary: best local max >= ratio * peak, excluding the primary bin.
+        is_localmax = (hist >= jnp.roll(hist, 1)) & (hist >= jnp.roll(hist, -1))
+        mask2 = is_localmax & (jnp.arange(ORI_BINS) != b1)
+        h2 = jnp.where(mask2, hist, -1.0)
+        b2 = jnp.argmax(h2)
+        a2 = interp_angle(b2)
+        v2 = h2[b2] >= ORI_PEAK_RATIO * peak
+        return jnp.stack([a1, a2]), jnp.stack([peak > 0, v2])
+
+    angles, avalid = jax.vmap(per_kpt_orientation)(x, y, sig, scale_i)
+
+    desc_off = jnp.asarray(_DESC_OFF)          # (256, 2) cell units
+    spatial_w = jnp.asarray(_DESC_SPATIAL_W)   # (256, 16)
+    gauss_w = jnp.asarray(_DESC_GAUSS_W)       # (256,)
+
+    def per_kpt_descriptor(xk, yk, sk, si, angle):
+        cell = DESC_SCL_FCTR * sk  # pixels per descriptor cell
+        ca = jnp.cos(angle)
+        sa = jnp.sin(angle)
+        # Rotated sample positions.
+        ox = desc_off[:, 0] * cell
+        oy = desc_off[:, 1] * cell
+        sx = xk + ca * ox - sa * oy
+        sy = yk + sa * ox + ca * oy
+        gxs = _bilinear(gx[si], sx, sy)
+        gys = _bilinear(gy[si], sx, sy)
+        mag = jnp.sqrt(gxs * gxs + gys * gys) * gauss_w
+        ang = jnp.arctan2(gys, gxs) - angle
+        binf = (ang / (2 * jnp.pi)) * DESC_BINS
+        binf = jnp.mod(binf, DESC_BINS)
+        b0 = jnp.floor(binf).astype(jnp.int32) % DESC_BINS
+        frac = binf - jnp.floor(binf)
+        # Orientation soft-assign -> (256, 8).
+        oh0 = jax.nn.one_hot(b0, DESC_BINS, dtype=jnp.float32) * (1 - frac)[:, None]
+        oh1 = jax.nn.one_hot((b0 + 1) % DESC_BINS, DESC_BINS, dtype=jnp.float32) * frac[:, None]
+        ori_contrib = (oh0 + oh1) * mag[:, None]
+        # Spatial bilinear (constant weights) x orientation: (16, 8).
+        d = jnp.einsum("sc,sb->cb", spatial_w, ori_contrib, precision=_HIGHEST)
+        d = d.reshape(-1)  # 128
+        # Normalise, clip, renormalise (standard SIFT illumination model).
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+        d = jnp.minimum(d, DESC_MAG_THR)
+        d = d / jnp.maximum(jnp.linalg.norm(d), 1e-12)
+        return d
+
+    def both(xk, yk, sk, si, ang2):
+        return jax.vmap(lambda a: per_kpt_descriptor(xk, yk, sk, si, a))(ang2)
+
+    desc = jax.vmap(both)(x, y, sig, scale_i, angles)  # (K, 2, 128)
+    return angles, avalid, desc
+
+
+class SIFT:
+    """Host orchestration: octave loop + final keypoint selection.
+
+    extract() returns (keypoints (N, 4): x, y, size, angle_deg in *original
+    image* coordinates, descriptors (N, 128) float32, both already truncated
+    to at most `num_features` by descending size — the reference's
+    ExtractTopScaleKeyPoints policy, FeatureUtils.cpp:38-96).
+    """
+
+    def __init__(self, num_features: int = 8024, k_per_octave: int = 4096,
+                 upsample: bool = True, normalization: str = "l1_root",
+                 contrast_threshold: float = CONTRAST_THRESHOLD):
+        self.num_features = num_features
+        self.k_per_octave = k_per_octave
+        self.upsample = upsample
+        self.normalization = normalization
+        self.contrast_threshold = contrast_threshold
+
+    def extract(self, image: np.ndarray):
+        """image: (H, W) uint8 or float in [0, 255]."""
+        img = jnp.asarray(np.asarray(image, np.float32) / 255.0)
+        base = _base_image(img, upsample=self.upsample)
+        first_octave = -1 if self.upsample else 0
+        H0, W0 = base.shape
+        num_octaves = int(np.round(np.log2(min(H0, W0)))) - 3
+        num_octaves = max(min(num_octaves, 8), 1)
+
+        all_kp = []
+        all_desc = []
+        g = base
+        for o in range(num_octaves):
+            gauss = _build_octave(g)
+            # Small octaves have fewer pixels than the candidate budget.
+            k_oct = min(self.k_per_octave, N_SCALES * g.shape[0] * g.shape[1])
+            det = _detect_octave(gauss, k_oct, self.contrast_threshold)
+            angles, avalid, desc = _orient_and_describe(gauss, det)
+            valid = np.asarray(det["valid"])
+            if valid.any():
+                xs = np.asarray(det["x"])
+                ys = np.asarray(det["y"])
+                sig = np.asarray(det["sigma_octave"])
+                ang = np.asarray(angles)
+                av = np.asarray(avalid)
+                de = np.asarray(desc)
+                octave_scale = 2.0 ** (o + first_octave)
+                for slot in range(2):
+                    keep = valid & av[:, slot]
+                    if not keep.any():
+                        continue
+                    kp = np.stack(
+                        [
+                            xs[keep] * octave_scale,
+                            ys[keep] * octave_scale,
+                            sig[keep] * octave_scale * 2.0,  # size ~ 2*sigma
+                            np.degrees(ang[keep, slot]),
+                        ],
+                        axis=1,
+                    )
+                    all_kp.append(kp)
+                    all_desc.append(de[keep, slot])
+            # Next octave: downsample the scale-(N_SCALES) gaussian image.
+            g = gauss[N_SCALES][::2, ::2]
+            if min(g.shape) < 16:
+                break
+
+        if not all_kp:
+            return np.zeros((0, 4), np.float32), np.zeros((0, 128), np.float32)
+        kps = np.concatenate(all_kp)
+        descs = np.concatenate(all_desc)
+        # Top num_features by size (scale), descending — reference policy.
+        if len(kps) > self.num_features:
+            order = np.argsort(-kps[:, 2], kind="stable")[: self.num_features]
+            kps, descs = kps[order], descs[order]
+        if self.normalization == "l1_root":
+            # RootSIFT: L1-normalise then sqrt -> unit L2 (FeatureUtils.cpp:260-270).
+            descs = descs / np.maximum(
+                np.abs(descs).sum(axis=1, keepdims=True), 1e-12
+            )
+            descs = np.sqrt(descs)
+        else:  # l2
+            descs = descs / np.maximum(
+                np.linalg.norm(descs, axis=1, keepdims=True), 1e-12
+            )
+        return kps.astype(np.float32), descs.astype(np.float32)
