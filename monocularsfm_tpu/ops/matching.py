@@ -83,10 +83,14 @@ def match_descriptors_pair(
     b_tiles = b.reshape(num_tiles, col_tile, d)
     maskb_tiles = mask_b.reshape(num_tiles, col_tile)
 
+    # Derive the carry init from the input so it inherits the input's
+    # device-varying type under shard_map (fresh constants would be typed
+    # replicated and trip the scan vma check).
+    zrow = jnp.zeros_like(a[:, 0], dtype=jnp.float32)
     init = (
-        jnp.full((n_a,), NEG, jnp.float32),   # row top1
-        jnp.zeros((n_a,), jnp.int32),          # row top1 idx
-        jnp.full((n_a,), NEG, jnp.float32),   # row top2
+        zrow + NEG,                         # row top1
+        zrow.astype(jnp.int32),             # row top1 idx
+        zrow + NEG,                         # row top2
     )
 
     def body(carry, inp):

@@ -148,8 +148,55 @@ def bundle_adjust(
     solve_mode: str = "dense",
     pcg_iters: int = 100,
 ) -> dict[str, Any]:
+    """Single-device LM (jitted wrapper over the SPMD-capable impl)."""
+    return bundle_adjust_impl(
+        prob,
+        max_iterations=max_iterations,
+        function_tolerance=function_tolerance,
+        parameter_tolerance=parameter_tolerance,
+        initial_radius=initial_radius,
+        schur_chunk=schur_chunk,
+        solve_mode=solve_mode,
+        pcg_iters=pcg_iters,
+        axis_name=None,
+    )
+
+
+def bundle_adjust_impl(
+    prob: BundleProblem,
+    max_iterations: int = 50,
+    function_tolerance: float = 1e-6,
+    parameter_tolerance: float = 1e-8,
+    initial_radius: float = 1e4,
+    schur_chunk: int = 2048,
+    solve_mode: str = "dense",
+    pcg_iters: int = 100,
+    axis_name: str | None = None,
+) -> dict[str, Any]:
     """Run LM. Returns dict(R, t, X, cost_initial, cost_final, iterations,
-    rmse_initial, rmse_final, num_residuals)."""
+    rmse_initial, rmse_final, num_residuals).
+
+    With `axis_name` set this function is SPMD over a mesh axis that shards
+    the *point* dimension (landmark-sharded distributed BA): cameras and the
+    reduced camera system are replicated, every point/observation quantity is
+    local, and the camera-side reductions (U, rhs, S, cost, pred) are
+    psum-reduced over ICI — the design in SURVEY.md section 2 plan (d).
+    Callers wrap it in shard_map (see parallel/distributed_ba.py).
+    """
+
+    def _ps(x):
+        return jax.lax.psum(x, axis_name) if axis_name is not None else x
+
+    def _pv(x):
+        # Mark a replicated value as device-varying so it can seed loop
+        # carries whose bodies mix in sharded data (shard_map vma typing).
+        if axis_name is None:
+            return x
+        try:
+            return jax.lax.pcast(x, (axis_name,), to="varying")
+        except (AttributeError, TypeError):  # older jax spelling
+            return jax.lax.pvary(x, (axis_name,))
+
     K = prob.K
     C = prob.R.shape[0]
     P, T = prob.obs_cam.shape
@@ -158,14 +205,14 @@ def bundle_adjust(
         & prob.point_valid[:, None]
         & prob.cam_valid[prob.obs_cam]
     ).astype(jnp.float32)
-    num_res = jnp.sum(w)
+    num_res = _ps(jnp.sum(w))
     obs_cam_flat = prob.obs_cam.reshape(-1)
 
     free_cam = (prob.cam_valid & ~prob.cam_const).astype(jnp.float32)  # (C,)
 
     def compute_cost(R, t, X):
         r, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
-        return _cost(r), r
+        return _ps(_cost(r)), r
 
     def build_system(R, t, X):
         """Residuals + all Schur building blocks at the current state."""
@@ -193,12 +240,12 @@ def bundle_adjust(
         # Zero out Jacobian columns of pinned/invalid cameras (gauge fixing).
         Jc = Jc * free_cam[prob.obs_cam][..., None, None]
 
-        # Camera blocks.
-        U = jax.ops.segment_sum(
+        # Camera blocks (replicated after the cross-shard reduction).
+        U = _ps(jax.ops.segment_sum(
             jnp.einsum("oki,okj->oij", Jc.reshape(-1, 2, 6), Jc.reshape(-1, 2, 6),
                        precision=_HIGHEST),
             obs_cam_flat, num_segments=C,
-        )  # (C, 6, 6)
+        ))  # (C, 6, 6)
         g_c = jax.ops.segment_sum(
             -jnp.einsum("oki,ok->oi", Jc.reshape(-1, 2, 6), r.reshape(-1, 2),
                         precision=_HIGHEST),
@@ -259,12 +306,12 @@ def bundle_adjust(
     def dense_schur_solve(U_d, Vinv, W, g_c, g_p):
         """Build S and rhs densely (chunked one-hot einsum) and solve."""
         Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)  # (P,T,6,3)
-        rhs = g_c - jax.ops.segment_sum(
+        rhs = _ps(g_c - jax.ops.segment_sum(
             jnp.einsum("oij,oj->oi", Y.reshape(-1, 6, 3),
                        jnp.repeat(g_p, T, axis=0).reshape(-1, 3),
                        precision=_HIGHEST),
             obs_cam_flat, num_segments=C,
-        )  # (C, 6)
+        ))  # (C, 6)
 
         # Zero-pad the point axis to a whole number of chunks (zero W/Y rows
         # contribute nothing), then scan chunks — fully static shapes, no
@@ -287,8 +334,9 @@ def bundle_adjust(
             ).reshape(C * 6, C * 6)
             return S_acc, None
 
-        S0 = jnp.zeros((C * 6, C * 6), jnp.float32)
+        S0 = _pv(jnp.zeros((C * 6, C * 6), jnp.float32))
         S, _ = jax.lax.scan(chunk_body, S0, (cc, Yc, Wc))
+        S = _ps(S)  # reduce the point-sharded Schur contributions over ICI
         # Add U~ on the block diagonal.
         bidx = jnp.arange(C)
         S = S.reshape(C, 6, C, 6)
@@ -306,12 +354,12 @@ def bundle_adjust(
     def pcg_schur_solve(U_d, Vinv, W, g_c, g_p):
         """Matrix-free PCG on S dc = rhs with block-Jacobi preconditioner."""
         Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)
-        rhs = g_c - jax.ops.segment_sum(
+        rhs = _ps(g_c - jax.ops.segment_sum(
             jnp.einsum("oij,oj->oi", Y.reshape(-1, 6, 3),
                        jnp.repeat(g_p, T, axis=0).reshape(-1, 3),
                        precision=_HIGHEST),
             obs_cam_flat, num_segments=C,
-        )
+        ))
         Uinv = jnp.linalg.inv(U_d)  # (C, 6, 6) block-Jacobi preconditioner
 
         def S_mul(x):  # x: (C, 6)
@@ -319,12 +367,14 @@ def bundle_adjust(
             # Wx: sum_t W_pt^T x_{cam(pt)} -> (P, 3)
             Wx = jnp.einsum("ptji,ptj->pi", W, x[prob.obs_cam], precision=_HIGHEST)
             VinvWx = jnp.einsum("pij,pj->pi", Vinv, Wx, precision=_HIGHEST)
-            back = jax.ops.segment_sum(
+            back = _ps(jax.ops.segment_sum(
                 jnp.einsum("oij,oj->oi", W.reshape(-1, 6, 3),
                            jnp.repeat(VinvWx, T, axis=0).reshape(-1, 3),
                            precision=_HIGHEST),
                 obs_cam_flat, num_segments=C,
-            )
+            ))
+            # Ux is computed from replicated U_d/x — identical on every shard,
+            # so it must NOT be psum'd; only the point-sharded term is.
             return Ux - back
 
         def prec(z):
@@ -354,7 +404,7 @@ def bundle_adjust(
 
     def try_step(R, t, X, lam):
         r, U, g_c, V, g_p, W, Jc, Jp = build_system(R, t, X)
-        cost = _cost(r)
+        cost = _ps(_cost(r))  # global cost — must match compute_cost's reduction
         U_d, V_d = damped_blocks(U, V, lam)
         Vinv = inv3x3(V_d)
         dc, Y = solve(U_d, Vinv, W, g_c, g_p)
@@ -369,13 +419,14 @@ def bundle_adjust(
             jnp.einsum("ptij,ptj->pti", Jc, dc[prob.obs_cam], precision=_HIGHEST)
             + jnp.einsum("ptij,pj->pti", Jp, dp, precision=_HIGHEST)
         )
-        pred = -jnp.sum(r * Jdx) - 0.5 * jnp.sum(Jdx * Jdx)
+        pred = _ps(-jnp.sum(r * Jdx) - 0.5 * jnp.sum(Jdx * Jdx))
         # Apply the step.
         R_new = _exp_so3(dc[:, :3]) @ R
         t_new = t + dc[:, 3:]
         X_new = X + dp
         new_cost, _ = compute_cost(R_new, t_new, X_new)
-        step_sq = jnp.sum(dc * dc) + jnp.sum(dp * dp)
+        # dc is replicated (no psum); dp is point-sharded (psum).
+        step_sq = jnp.sum(dc * dc) + _ps(jnp.sum(dp * dp))
         return cost, new_cost, pred, R_new, t_new, X_new, step_sq
 
     cost0, _ = compute_cost(prob.R, prob.t, prob.X)
@@ -420,17 +471,27 @@ def bundle_adjust(
     # Mean Euclidean reprojection error per observation — the metric the
     # reference reports (Map::PrintStatistics / README "0.33772 px" style).
     r_fin, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
-    mean_reproj = jnp.sum(jnp.linalg.norm(r_fin, axis=-1)) / denom
+    mean_reproj = _ps(jnp.sum(jnp.linalg.norm(r_fin, axis=-1))) / denom
+
+    def _unvary(x):
+        # Camera-side outputs are identical on every shard (all shard-varying
+        # inputs flowed through deterministic psums), but the vma type still
+        # says "varying".  pmean of equal values is the identity and comes
+        # back typed replicated — one tiny all-reduce at the very end.
+        if axis_name is None:
+            return x
+        return jax.lax.pmean(x, axis_name)
+
     return {
-        "R": R,
-        "t": t,
+        "R": _unvary(R),
+        "t": _unvary(t),
         "X": X,
-        "cost_initial": cost0,
-        "cost_final": cost,
-        "iterations": iters,
+        "cost_initial": _unvary(cost0),
+        "cost_final": _unvary(cost),
+        "iterations": _unvary(iters),
         # Per-residual-component RMSE (Ceres convention: 2 components/obs).
-        "rmse_initial": jnp.sqrt(cost0 / denom),
-        "rmse_final": jnp.sqrt(cost / denom),
-        "mean_reproj_error": mean_reproj,
-        "num_residuals": num_res,
+        "rmse_initial": _unvary(jnp.sqrt(cost0 / denom)),
+        "rmse_final": _unvary(jnp.sqrt(cost / denom)),
+        "mean_reproj_error": _unvary(mean_reproj),
+        "num_residuals": _unvary(num_res),
     }
