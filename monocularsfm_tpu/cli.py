@@ -132,6 +132,19 @@ def main(argv=None):
         p.add_argument("config", help="YAML config (reference-style or nested)")
     args = parser.parse_args(argv)
 
+    # Persistent XLA compilation cache: the incremental loop compiles one
+    # kernel per capacity bucket; caching makes reruns and resumes cheap.
+    try:
+        import jax
+
+        if jax.config.jax_compilation_cache_dir is None:
+            jax.config.update(
+                "jax_compilation_cache_dir",
+                str(pathlib.Path.home() / ".cache" / "monocularsfm_tpu_xla"),
+            )
+    except Exception:
+        pass
+
     from monocularsfm_tpu.config import load_yaml
 
     cfg = load_yaml(args.config)

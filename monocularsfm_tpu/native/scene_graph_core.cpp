@@ -1,0 +1,177 @@
+// Native scene-graph core: CSR construction + correspondence walks.
+//
+// Reference parity: the reference implements its correspondence graph and
+// the transitive queries feeding PnP/triangulation in C++
+// (src/Reconstruction/SceneGraph.cpp, Map::Get2D3DCorrespondences and
+// Map::Get2D2DCorrespondences in src/Reconstruction/Map.cpp:375-492).
+// These walks are the host-side hot path of the incremental loop — O(K * deg)
+// per registered image with K up to ~8k keypoints — so they get a real
+// native implementation here, exposed through a plain C ABI consumed via
+// ctypes (no pybind11 in the image).
+//
+// Conventions:
+//   node id  = image_offset[image] + keypoint_index (flat feature id)
+//   adjacency: CSR (indptr int64[num_nodes+1], adj_node int32[num_edges])
+//   point3D assignment: p3d int64[num_nodes] (-1 = unassigned)
+//   registered: uint8[num_images]
+//   node -> image lookup: node_image int32[num_nodes]
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Two-pass counting-sort CSR build.
+// edges are given as (node_a, node_b) pairs; both directions are inserted.
+// indptr must have num_nodes+1 entries; adj_node must have 2*num_edges.
+void build_csr(int64_t num_nodes, int64_t num_edges,
+               const int32_t* edge_a, const int32_t* edge_b,
+               int64_t* indptr, int32_t* adj_node) {
+  std::memset(indptr, 0, sizeof(int64_t) * (num_nodes + 1));
+  for (int64_t e = 0; e < num_edges; ++e) {
+    indptr[edge_a[e] + 1]++;
+    indptr[edge_b[e] + 1]++;
+  }
+  for (int64_t n = 0; n < num_nodes; ++n) indptr[n + 1] += indptr[n];
+  std::vector<int64_t> cursor(indptr, indptr + num_nodes);
+  for (int64_t e = 0; e < num_edges; ++e) {
+    adj_node[cursor[edge_a[e]]++] = edge_b[e];
+    adj_node[cursor[edge_b[e]]++] = edge_a[e];
+  }
+}
+
+// 2D-3D correspondence search for one image (PnP feed).
+// For each keypoint k of the image (nodes [node_base, node_base+num_kpts)):
+// walk its correspondences; the first correspondent living in a registered
+// image with an assigned 3D point yields (k, point3D). Results deduped by
+// point id, first keypoint wins (reference Map.cpp:375-431 semantics).
+// Returns the number of emitted pairs (<= capacity).
+int64_t get_2d3d(int64_t node_base, int64_t num_kpts,
+                 const int64_t* indptr, const int32_t* adj_node,
+                 const int32_t* node_image, const int64_t* p3d,
+                 const uint8_t* registered,
+                 int64_t capacity,
+                 int32_t* out_kpt, int64_t* out_pid,
+                 int64_t total_points) {
+  // Dedup table over point ids (total_points can be large; bitmap-free
+  // approach: epoch-stamped vector would need state — use a byte map).
+  std::vector<uint8_t> seen(total_points, 0);
+  int64_t count = 0;
+  for (int64_t k = 0; k < num_kpts && count < capacity; ++k) {
+    const int64_t node = node_base + k;
+    const int64_t s = indptr[node], e = indptr[node + 1];
+    for (int64_t j = s; j < e; ++j) {
+      const int32_t other = adj_node[j];
+      if (!registered[node_image[other]]) continue;
+      const int64_t pid = p3d[other];
+      if (pid < 0) continue;
+      if (!seen[pid]) {
+        seen[pid] = 1;
+        out_kpt[count] = (int32_t)k;
+        out_pid[count] = pid;
+        ++count;
+      }
+      break;  // first assigned correspondent decides, like the reference
+    }
+  }
+  return count;
+}
+
+// Triangulation work lists for one newly registered image.
+// For each keypoint k without a 3D point, collect correspondents in
+// registered images that also lack a 3D point (track capped at max_track,
+// including the seed).  Output is flattened:
+//   out_offsets[i] .. out_offsets[i+1] delimit track i's nodes in out_nodes;
+//   out_seed_kpt[i] = k.  Tracks with < 2 nodes are dropped.
+// Returns the number of tracks (<= max_tracks).
+int64_t triangulation_tracks(int64_t node_base, int64_t num_kpts,
+                             const int64_t* indptr, const int32_t* adj_node,
+                             const int32_t* node_image, const int64_t* p3d,
+                             const uint8_t* registered,
+                             int64_t max_track, int64_t max_tracks,
+                             int64_t nodes_capacity,
+                             int32_t* out_seed_kpt, int64_t* out_offsets,
+                             int32_t* out_nodes) {
+  int64_t num_tracks = 0;
+  int64_t cursor = 0;
+  out_offsets[0] = 0;
+  for (int64_t k = 0; k < num_kpts && num_tracks < max_tracks; ++k) {
+    const int64_t node = node_base + k;
+    if (p3d[node] >= 0) continue;
+    const int64_t s = indptr[node], e = indptr[node + 1];
+    if (s == e) continue;
+    if (cursor + max_track > nodes_capacity) break;
+    int64_t len = 0;
+    out_nodes[cursor + len++] = (int32_t)node;
+    for (int64_t j = s; j < e && len < max_track; ++j) {
+      const int32_t other = adj_node[j];
+      if (!registered[node_image[other]]) continue;
+      if (p3d[other] >= 0) continue;
+      out_nodes[cursor + len++] = other;
+    }
+    if (len < 2) continue;
+    out_seed_kpt[num_tracks] = (int32_t)k;
+    cursor += len;
+    out_offsets[++num_tracks] = cursor;
+  }
+  return num_tracks;
+}
+
+// Transitive completion candidates: BFS outward from a point's track nodes
+// through the correspondence graph, up to max_depth hops, collecting
+// unassigned nodes in registered images (the geometric accept test happens
+// on the caller side / device).  visited-set is a byte map over nodes.
+// Returns number of candidate nodes written.
+int64_t completion_candidates(const int32_t* track_nodes, int64_t track_len,
+                              const int64_t* indptr, const int32_t* adj_node,
+                              const int32_t* node_image, const int64_t* p3d,
+                              const uint8_t* registered,
+                              int64_t num_nodes, int64_t max_depth,
+                              int64_t capacity,
+                              int32_t* out_nodes, int32_t* out_depth) {
+  std::vector<uint8_t> visited(num_nodes, 0);
+  std::vector<int32_t> frontier(track_nodes, track_nodes + track_len);
+  for (int64_t i = 0; i < track_len; ++i) visited[track_nodes[i]] = 1;
+  int64_t count = 0;
+  for (int64_t depth = 1; depth <= max_depth && !frontier.empty(); ++depth) {
+    std::vector<int32_t> next;
+    for (int32_t node : frontier) {
+      const int64_t s = indptr[node], e = indptr[node + 1];
+      for (int64_t j = s; j < e; ++j) {
+        const int32_t other = adj_node[j];
+        if (visited[other]) continue;
+        visited[other] = 1;
+        if (!registered[node_image[other]]) continue;
+        if (p3d[other] >= 0) continue;
+        if (count < capacity) {
+          out_nodes[count] = other;
+          out_depth[count] = (int32_t)depth;
+          ++count;
+        }
+        next.push_back(other);
+      }
+    }
+    frontier.swap(next);
+  }
+  return count;
+}
+
+// Per-image correspondence statistics against the registered set
+// (scheduler support): number of adjacency entries whose other endpoint is
+// registered, for ranking candidate images.
+int64_t count_registered_correspondences(int64_t node_base, int64_t num_kpts,
+                                         const int64_t* indptr,
+                                         const int32_t* adj_node,
+                                         const int32_t* node_image,
+                                         const uint8_t* registered) {
+  int64_t count = 0;
+  const int64_t s = indptr[node_base];
+  const int64_t e = indptr[node_base + num_kpts];
+  for (int64_t j = s; j < e; ++j) {
+    if (registered[node_image[adj_node[j]]]) ++count;
+  }
+  return count;
+}
+
+}  // extern "C"

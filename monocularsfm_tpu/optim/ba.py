@@ -136,7 +136,10 @@ def _cost(r):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("max_iterations", "schur_chunk", "solve_mode", "pcg_iters"),
+    static_argnames=(
+        "max_iterations", "schur_chunk", "solve_mode", "pcg_iters",
+        "refine_focal",
+    ),
 )
 def bundle_adjust(
     prob: BundleProblem,
@@ -147,6 +150,7 @@ def bundle_adjust(
     schur_chunk: int = 2048,
     solve_mode: str = "dense",
     pcg_iters: int = 100,
+    refine_focal: bool = False,
 ) -> dict[str, Any]:
     """Single-device LM (jitted wrapper over the SPMD-capable impl)."""
     return bundle_adjust_impl(
@@ -158,6 +162,7 @@ def bundle_adjust(
         schur_chunk=schur_chunk,
         solve_mode=solve_mode,
         pcg_iters=pcg_iters,
+        refine_focal=refine_focal,
         axis_name=None,
     )
 
@@ -171,6 +176,7 @@ def bundle_adjust_impl(
     schur_chunk: int = 2048,
     solve_mode: str = "dense",
     pcg_iters: int = 100,
+    refine_focal: bool = False,
     axis_name: str | None = None,
 ) -> dict[str, Any]:
     """Run LM. Returns dict(R, t, X, cost_initial, cost_final, iterations,
@@ -197,7 +203,8 @@ def bundle_adjust_impl(
         except (AttributeError, TypeError):  # older jax spelling
             return jax.lax.pvary(x, (axis_name,))
 
-    K = prob.K
+    if refine_focal and solve_mode != "dense":
+        raise ValueError("refine_focal requires solve_mode='dense'")
     C = prob.R.shape[0]
     P, T = prob.obs_cam.shape
     w = (
@@ -210,11 +217,11 @@ def bundle_adjust_impl(
 
     free_cam = (prob.cam_valid & ~prob.cam_const).astype(jnp.float32)  # (C,)
 
-    def compute_cost(R, t, X):
+    def compute_cost(K, R, t, X):
         r, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
         return _ps(_cost(r)), r
 
-    def build_system(R, t, X):
+    def build_system(K, R, t, X):
         """Residuals + all Schur building blocks at the current state."""
         r, p, z, R_obs = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
         q = p - t[prob.obs_cam]  # (P, T, 3) rotated-but-untranslated points
@@ -256,7 +263,30 @@ def bundle_adjust_impl(
         g_p = -jnp.einsum("ptki,ptk->pi", Jp, r, precision=_HIGHEST)  # (P, 3)
         # Coupling.
         W = jnp.einsum("ptki,ptkj->ptij", Jc, Jp, precision=_HIGHEST)  # (P, T, 6, 3)
-        return r, U, g_c, V, g_p, W, Jc, Jp
+        if not refine_focal:
+            return r, U, g_c, V, g_p, W, Jc, Jp, None
+        # Global shared-focal columns (CeresBundleOptimizer.cpp:76-121):
+        # d ru/d fx = xn * w, d rv/d fy = yn * w; off-diagonals zero.
+        xn = p[..., 0] * inv_z * w
+        yn = p[..., 1] * inv_z * w
+        zero2 = jnp.zeros_like(xn)
+        Jf = jnp.stack(
+            [
+                jnp.stack([xn, zero2], axis=-1),
+                jnp.stack([zero2, yn], axis=-1),
+            ],
+            axis=-2,
+        )  # (P, T, 2res, 2f)
+        U_ff = _ps(jnp.einsum("ptki,ptkj->ij", Jf, Jf, precision=_HIGHEST))
+        U_cf = _ps(jax.ops.segment_sum(
+            jnp.einsum("oki,okj->oij", Jc.reshape(-1, 2, 6), Jf.reshape(-1, 2, 2),
+                       precision=_HIGHEST),
+            obs_cam_flat, num_segments=C,
+        ))  # (C, 6, 2)
+        g_f = _ps(-jnp.einsum("ptki,ptk->i", Jf, r, precision=_HIGHEST))  # (2,)
+        Wf_sum = jnp.einsum("ptki,ptkj->pij", Jf, Jp, precision=_HIGHEST)  # (P, 2, 3)
+        focal = (Jf, U_ff, U_cf, g_f, Wf_sum)
+        return r, U, g_c, V, g_p, W, Jc, Jp, focal
 
     def inv3x3(M):
         """Batched closed-form 3x3 inverse (adjugate / det)."""
@@ -303,8 +333,13 @@ def bundle_adjust_impl(
     schur_chunk = min(schur_chunk, P)
     num_chunks = (P + schur_chunk - 1) // schur_chunk
 
-    def dense_schur_solve(U_d, Vinv, W, g_c, g_p):
-        """Build S and rhs densely (chunked one-hot einsum) and solve."""
+    def dense_schur_solve(U_d, Vinv, W, g_c, g_p, focal=None, lam=0.0):
+        """Build S and rhs densely (chunked one-hot einsum) and solve.
+
+        With `focal` set, the system is augmented by two global shared-focal
+        columns: S_aug = [[S_cc, S_cf], [S_cf^T, S_ff]] — the focal block is
+        Schur-reduced against the same point blocks (Wf_sum couples focal to
+        every point)."""
         Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)  # (P,T,6,3)
         rhs = _ps(g_c - jax.ops.segment_sum(
             jnp.einsum("oij,oj->oi", Y.reshape(-1, 6, 3),
@@ -342,16 +377,52 @@ def bundle_adjust_impl(
         S = S.reshape(C, 6, C, 6)
         S = S.at[bidx, :, bidx, :].add(U_d)
         S = S.reshape(C * 6, C * 6)
+
+        df = None
+        if focal is not None:
+            Jf, U_ff, U_cf, g_f, Wf_sum = focal
+            # Schur-reduce focal against the point blocks.
+            VinvWfT = jnp.einsum("pij,pkj->pik", Vinv, Wf_sum,
+                                 precision=_HIGHEST)  # (P, 3, 2)
+            S_ff = U_ff - _ps(jnp.einsum(
+                "pij,pjk->ik", Wf_sum, VinvWfT, precision=_HIGHEST))  # (2, 2)
+            # Damp the focal diagonal like every other block.
+            dff = jnp.clip(jnp.diagonal(S_ff), 1e-6, 1e32)
+            S_ff = S_ff + lam * dff * jnp.eye(2, dtype=jnp.float32)
+            # Cam-focal coupling: U_cf - sum_{p, t} Y_pt (Wf_sum_p)^T.
+            S_cf = U_cf - _ps(jax.ops.segment_sum(
+                jnp.einsum("oij,okj->oik", Y.reshape(-1, 6, 3),
+                           jnp.repeat(Wf_sum, T, axis=0).reshape(-1, 2, 3),
+                           precision=_HIGHEST),
+                obs_cam_flat, num_segments=C,
+            ))  # (C, 6, 2)
+            rhs_f = g_f - _ps(jnp.einsum(
+                "pij,pj->pi", Wf_sum @ Vinv, g_p, precision=_HIGHEST
+            ).sum(axis=0))  # (2,)
+            S_cf_flat = S_cf.reshape(C * 6, 2)
+            S = jnp.block([
+                [S, S_cf_flat],
+                [S_cf_flat.T, S_ff],
+            ])
+            rhs = jnp.concatenate([rhs.reshape(-1), rhs_f])
+        else:
+            rhs = rhs.reshape(-1)
+
         # Jacobi equilibration keeps the f32 Cholesky healthy.
         d = jnp.sqrt(jnp.clip(jnp.diagonal(S), 1e-12, None))
         dinv = 1.0 / d
         S_eq = S * dinv[:, None] * dinv[None, :]
-        rhs_eq = rhs.reshape(-1) * dinv
+        rhs_eq = rhs * dinv
         L, low = jax.scipy.linalg.cho_factor(S_eq, lower=True)
-        dc = jax.scipy.linalg.cho_solve((L, low), rhs_eq) * dinv
-        return dc.reshape(C, 6), Y
+        sol = jax.scipy.linalg.cho_solve((L, low), rhs_eq) * dinv
+        if focal is not None:
+            dc = sol[: C * 6].reshape(C, 6)
+            df = sol[C * 6 :]
+        else:
+            dc = sol.reshape(C, 6)
+        return dc, Y, df
 
-    def pcg_schur_solve(U_d, Vinv, W, g_c, g_p):
+    def pcg_schur_solve(U_d, Vinv, W, g_c, g_p, focal=None, lam=0.0):
         """Matrix-free PCG on S dc = rhs with block-Jacobi preconditioner."""
         Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)
         rhs = _ps(g_c - jax.ops.segment_sum(
@@ -398,20 +469,25 @@ def bundle_adjust_impl(
             return (x, r_new, z_new, pvec), None
 
         (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, p0), None, length=pcg_iters)
-        return x, Y
+        return x, Y, None
 
     solve = dense_schur_solve if solve_mode == "dense" else pcg_schur_solve
 
-    def try_step(R, t, X, lam):
-        r, U, g_c, V, g_p, W, Jc, Jp = build_system(R, t, X)
+    def try_step(K, R, t, X, lam):
+        r, U, g_c, V, g_p, W, Jc, Jp, focal = build_system(K, R, t, X)
         cost = _ps(_cost(r))  # global cost — must match compute_cost's reduction
         U_d, V_d = damped_blocks(U, V, lam)
         Vinv = inv3x3(V_d)
-        dc, Y = solve(U_d, Vinv, W, g_c, g_p)
+        dc, Y, df = solve(U_d, Vinv, W, g_c, g_p, focal, lam)
         dc = dc * free_cam[:, None]
         # Back-substitute point updates.
         WTdc = jnp.einsum("ptij,pti->pj", W, dc[prob.obs_cam], precision=_HIGHEST)
-        dp = jnp.einsum("pij,pj->pi", Vinv, g_p - WTdc, precision=_HIGHEST)
+        rhs_p = g_p - WTdc
+        if refine_focal:
+            Jf, U_ff, U_cf, g_f, Wf_sum = focal
+            rhs_p = rhs_p - jnp.einsum("pij,i->pj", Wf_sum, df,
+                                       precision=_HIGHEST)
+        dp = jnp.einsum("pij,pj->pi", Vinv, rhs_p, precision=_HIGHEST)
         dp = dp * prob.point_valid[:, None]
         # Model (predicted) cost reduction: -g.dx - 0.5 dx^T H dx, computed
         # through J dx at the observation level (cheap, exact).
@@ -419,26 +495,36 @@ def bundle_adjust_impl(
             jnp.einsum("ptij,ptj->pti", Jc, dc[prob.obs_cam], precision=_HIGHEST)
             + jnp.einsum("ptij,pj->pti", Jp, dp, precision=_HIGHEST)
         )
+        if refine_focal:
+            Jdx = Jdx + jnp.einsum("ptij,j->pti", focal[0], df,
+                                   precision=_HIGHEST)
         pred = _ps(-jnp.sum(r * Jdx) - 0.5 * jnp.sum(Jdx * Jdx))
         # Apply the step.
         R_new = _exp_so3(dc[:, :3]) @ R
         t_new = t + dc[:, 3:]
         X_new = X + dp
-        new_cost, _ = compute_cost(R_new, t_new, X_new)
+        if refine_focal:
+            K_new = K.at[0].add(df[0]).at[1].add(df[1])
+        else:
+            K_new = K
+        new_cost, _ = compute_cost(K_new, R_new, t_new, X_new)
         # dc is replicated (no psum); dp is point-sharded (psum).
         step_sq = jnp.sum(dc * dc) + _ps(jnp.sum(dp * dp))
-        return cost, new_cost, pred, R_new, t_new, X_new, step_sq
+        if refine_focal:
+            step_sq = step_sq + jnp.sum(df * df)
+        return cost, new_cost, pred, K_new, R_new, t_new, X_new, step_sq
 
-    cost0, _ = compute_cost(prob.R, prob.t, prob.X)
+    cost0, _ = compute_cost(prob.K, prob.R, prob.t, prob.X)
 
     def cond(state):
-        R, t, X, radius, cost, it, done = state
+        K, R, t, X, radius, cost, it, done = state
         return (it < max_iterations) & ~done
 
     def body(state):
-        R, t, X, radius, cost, it, done = state
+        K, R, t, X, radius, cost, it, done = state
         lam = 1.0 / radius
-        cost_cur, new_cost, pred, R_new, t_new, X_new, step_sq = try_step(R, t, X, lam)
+        (cost_cur, new_cost, pred, K_new, R_new, t_new, X_new,
+         step_sq) = try_step(K, R, t, X, lam)
         rho = (cost_cur - new_cost) / jnp.maximum(pred, 1e-20)
         accept = (rho > 0) & (new_cost < cost_cur) & jnp.isfinite(new_cost)
         # Ceres-style radius update.
@@ -449,6 +535,7 @@ def bundle_adjust_impl(
             radius / 2.0,
         )
         radius_new = jnp.clip(radius_new, 1e-16, 1e16)
+        K = jnp.where(accept, K_new, K)
         R = jnp.where(accept, R_new, R)
         t = jnp.where(accept, t_new, t)
         X = jnp.where(accept, X_new, X)
@@ -459,14 +546,15 @@ def bundle_adjust_impl(
         )
         x_conv = accept & (jnp.sqrt(step_sq) <= parameter_tolerance)
         stuck = ~accept & (radius_new <= 1e-14)
-        return (R, t, X, radius_new, cost_out, it + 1, f_conv | x_conv | stuck)
+        return (K, R, t, X, radius_new, cost_out, it + 1,
+                f_conv | x_conv | stuck)
 
     state = (
-        prob.R, prob.t, prob.X,
+        prob.K, prob.R, prob.t, prob.X,
         jnp.asarray(initial_radius, jnp.float32),
         cost0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
     )
-    R, t, X, radius, cost, iters, done = jax.lax.while_loop(cond, body, state)
+    K, R, t, X, radius, cost, iters, done = jax.lax.while_loop(cond, body, state)
     denom = jnp.maximum(num_res, 1.0)
     # Mean Euclidean reprojection error per observation — the metric the
     # reference reports (Map::PrintStatistics / README "0.33772 px" style).
@@ -494,4 +582,5 @@ def bundle_adjust_impl(
         "rmse_final": _unvary(jnp.sqrt(cost / denom)),
         "mean_reproj_error": _unvary(mean_reproj),
         "num_residuals": _unvary(num_res),
+        "K": _unvary(K),
     }

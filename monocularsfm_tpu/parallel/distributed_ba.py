@@ -73,7 +73,7 @@ def distributed_bundle_adjust(
         obs_cam=pt, obs_uv=pt, obs_valid=pt,
     )
     out_specs = {
-        "R": rep, "t": rep, "X": pt,
+        "R": rep, "t": rep, "X": pt, "K": rep,
         "cost_initial": rep, "cost_final": rep, "iterations": rep,
         "rmse_initial": rep, "rmse_final": rep, "mean_reproj_error": rep,
         "num_residuals": rep,

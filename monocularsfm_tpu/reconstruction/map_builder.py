@@ -69,7 +69,15 @@ class MapBuilder:
                          "local_ba", "global_ba", "filter", "total")
         }
         self._last_global_ba_count = 0
-        self._log = print if config.map_builder.is_visualization is not None else print
+        self._log = print
+        # Async visualization (reference refreshes every 6 images,
+        # MapBuilder.cpp:172-182; ours snapshots PLY + HTML viewer).
+        self.viz = None
+        if config.map_builder.is_visualization:
+            from monocularsfm_tpu.viz import AsyncVisualization
+
+            out = config.output_path or "."
+            self.viz = AsyncVisualization(f"{out}/viz", every_n_updates=6).start()
 
     # -- setup ---------------------------------------------------------------
     def setup(self, matches: dict, keypoints: dict, colors: dict | None = None,
@@ -91,7 +99,7 @@ class MapBuilder:
                 name = names.get(i, f"image{i}") if names else f"image{i}"
                 col = colors.get(i) if colors else None
                 self.map.load_image(i, name, np.asarray(kps), col)
-            self.map.scene_graph = self.scene_graph
+            self.map.attach_scene_graph(self.scene_graph)
 
     # -- init pair search ----------------------------------------------------
     def _find_init_pairs(self, max_trials: int):
@@ -271,6 +279,8 @@ class MapBuilder:
                         continue
                     progressed = True
                     self.triangulate_new(image_id)
+                    if self.viz is not None:
+                        self.viz.update(self.map)
                     n_reg = len(self.map.registered_ids)
                     if n_reg >= self.cfg.map_builder.global_ba_ratio * max(
                         self._last_global_ba_count, 2
@@ -287,6 +297,11 @@ class MapBuilder:
             if len(self.map.registered_ids) != self._last_global_ba_count:
                 self.global_ba()
                 self.maintain_tracks(self.map.point_ids())
+        if self.viz is not None:
+            self.viz._count = 0
+            self.viz.every = 1
+            self.viz.update(self.map)  # final frame
+            self.viz.close()
         return self.summary()
 
     def summary(self) -> BuildSummary:

@@ -82,7 +82,12 @@ class Map:
         )
         self.images: dict[int, ImageState] = {}
         self.registered_ids: list[int] = []  # registration order (gauge: [0])
-        self.scene_graph = None  # attached by MapBuilder
+        self.scene_graph = None  # attached via attach_scene_graph
+        # Native-core mirrors (flat node-level point3D ids + registered rows),
+        # maintained incrementally once a scene graph is attached.
+        self._node_p3d: np.ndarray | None = None
+        self._registered_rows: np.ndarray | None = None
+        self._native = None
 
         # Point cloud SoA (amortised growth).
         cap = 1024
@@ -113,6 +118,35 @@ class Map:
             point3D=np.full(n, -1, np.int64),
         )
 
+    def attach_scene_graph(self, scene_graph, use_native: bool = True):
+        """Attach the correspondence graph and set up native-core mirrors."""
+        self.scene_graph = scene_graph
+        if use_native and getattr(scene_graph, "num_nodes", None):
+            from monocularsfm_tpu import native
+
+            if native.available():
+                self._native = native.get_lib()
+                self._node_p3d = np.full(scene_graph.num_nodes, -1, np.int64)
+                self._registered_rows = np.zeros(
+                    len(scene_graph.image_ids), np.uint8
+                )
+                # Mirror any pre-existing state.
+                for image_id, im in self.images.items():
+                    if image_id in scene_graph._node_offset:
+                        base = scene_graph._node_offset[image_id]
+                        n = min(len(im.point3D), scene_graph.num_keypoints[image_id])
+                        self._node_p3d[base : base + n] = im.point3D[:n]
+                for image_id in self.registered_ids:
+                    row = scene_graph._row_of.get(image_id)
+                    if row is not None:
+                        self._registered_rows[row] = 1
+
+    def _mirror_p3d(self, image_id: int, kpt: int, pid: int):
+        if self._node_p3d is not None:
+            g = self.scene_graph
+            if image_id in g._node_offset and kpt < g.num_keypoints[image_id]:
+                self._node_p3d[g._node_offset[image_id] + kpt] = pid
+
     # -- basic mutations -----------------------------------------------------
     def add_image_pose(self, image_id: int, R: np.ndarray, t: np.ndarray):
         im = self.images[image_id]
@@ -120,6 +154,10 @@ class Map:
         im.t = np.asarray(t, np.float64).reshape(3)
         im.registered = True
         self.registered_ids.append(image_id)
+        if self._registered_rows is not None:
+            row = self.scene_graph._row_of.get(image_id)
+            if row is not None:
+                self._registered_rows[row] = 1
         # Reference AddImagePose clears the modified set (Map.cpp:125):
         # "modified" ~= touched since this image was registered.
         self.modified_point3D_ids.clear()
@@ -161,6 +199,7 @@ class Map:
         assert im.point3D[kpt] < 0, (image_id, kpt, im.point3D[kpt], pid)
         im.point3D[kpt] = pid
         self._tracks[pid].append((image_id, kpt))
+        self._mirror_p3d(image_id, kpt, pid)
 
     def add_observation(self, pid: int, image_id: int, kpt: int):
         self._add_track_element(pid, image_id, kpt)
@@ -169,6 +208,7 @@ class Map:
     def remove_observation(self, pid: int, image_id: int, kpt: int):
         im = self.images[image_id]
         im.point3D[kpt] = -1
+        self._mirror_p3d(image_id, kpt, -1)
         self._tracks[pid].remove((image_id, kpt))
         if len(self._tracks[pid]) < 2:
             self.delete_point3d(pid)
@@ -176,6 +216,7 @@ class Map:
     def delete_point3d(self, pid: int):
         for image_id, kpt in self._tracks[pid]:
             self.images[image_id].point3D[kpt] = -1
+            self._mirror_p3d(image_id, kpt, -1)
         self._tracks[pid] = None
         self._alive[pid] = False
         self._num_points -= 1
@@ -246,6 +287,23 @@ class Map:
 
         Returns (kpt_idx (M,), point3D_ids (M,), uv (M,2), xyz (M,3))."""
         im = self.images[image_id]
+        if self._native is not None:
+            g = self.scene_graph
+            base = g._node_offset[image_id]
+            nk = g.num_keypoints[image_id]
+            out_kpt = np.empty(nk, np.int32)
+            out_pid = np.empty(nk, np.int64)
+            n = self._native.get_2d3d(
+                base, nk, g._indptr, g._adj_node, g._node_image_row,
+                self._node_p3d, self._registered_rows, nk,
+                out_kpt, out_pid, max(self._next_id, 1),
+            )
+            kpt_idx = out_kpt[:n].astype(np.int64)
+            pids = out_pid[:n]
+            if n == 0:
+                z2, z3 = np.zeros((0, 2)), np.zeros((0, 3))
+                return np.zeros(0, np.int64), np.zeros(0, np.int64), z2, z3
+            return kpt_idx, pids, im.uv[kpt_idx], self._xyz[pids]
         ptr, adj_img, adj_kpt = self.scene_graph.correspondences_of_image(image_id)
         kpt_idx, pids = [], []
         for k in range(len(ptr) - 1):
@@ -287,6 +345,30 @@ class Map:
         (image_id, k) itself, length >= 2, capped at max_track.
         """
         im = self.images[image_id]
+        if self._native is not None:
+            g = self.scene_graph
+            base = g._node_offset[image_id]
+            nk = g.num_keypoints[image_id]
+            nodes_cap = nk * max_track
+            seed = np.empty(nk, np.int32)
+            offsets = np.empty(nk + 1, np.int64)
+            nodes = np.empty(nodes_cap, np.int32)
+            n = self._native.triangulation_tracks(
+                base, nk, g._indptr, g._adj_node, g._node_image_row,
+                self._node_p3d, self._registered_rows,
+                max_track, nk, nodes_cap, seed, offsets, nodes,
+            )
+            out = []
+            rows = g._node_image_row
+            offs = g._offset_of_row
+            ids = g.image_ids
+            for i in range(n):
+                tr_nodes = nodes[offsets[i] : offsets[i + 1]]
+                track = [
+                    (ids[rows[nd]], int(nd - offs[rows[nd]])) for nd in tr_nodes
+                ]
+                out.append((int(seed[i]), track))
+            return out
         ptr, adj_img, adj_kpt = self.scene_graph.correspondences_of_image(image_id)
         out = []
         for k in range(len(ptr) - 1):
@@ -448,6 +530,14 @@ class Map:
         def _pad_to(x, m):
             return ((x + m - 1) // m) * m
 
+        def _pow2_bucket(x, minimum):
+            # Pow2 capacity buckets keep the number of distinct BA shapes
+            # (and hence XLA recompiles) logarithmic as the map grows.
+            cap = minimum
+            while cap < x:
+                cap *= 2
+            return cap
+
         img_set = set(image_ids)
         pids = sorted(
             {
@@ -458,8 +548,8 @@ class Map:
         )
         # Index maps.
         cam_index = {img: c for c, img in enumerate(image_ids)}
-        C = max(_pad_to(len(image_ids), 8), 8)
-        Pn = max(_pad_to(len(pids), 256), 256)
+        C = _pow2_bucket(len(image_ids), 8)
+        Pn = _pow2_bucket(len(pids), 256)
         T = track_width
 
         R = np.tile(np.eye(3), (C, 1, 1)).astype(np.float32)

@@ -87,6 +87,30 @@ class SceneGraph:
         self._adj_kpt = adj_kpt
         degree = np.diff(indptr)
         self._two_view = degree == 1
+
+        # Flat-node views for the native (C++) correspondence walks:
+        # adj entries as flat node ids + a node -> image-row lookup.
+        self._row_of = {img: r for r, img in enumerate(self.image_ids)}
+        offset_of_row = np.array(
+            [self._node_offset[i] for i in self.image_ids], np.int64
+        )
+        if len(adj_image):
+            max_id = max(self.image_ids)
+            id_to_row = np.zeros(max_id + 1, np.int64)
+            for img, r in self._row_of.items():
+                id_to_row[img] = r
+            adj_row = id_to_row[adj_image]
+            self._adj_node = (offset_of_row[adj_row] + adj_kpt).astype(np.int32)
+        else:
+            self._adj_node = np.zeros(0, np.int32)
+        counts_per_img = np.array(
+            [self.num_keypoints[i] for i in self.image_ids], np.int64
+        )
+        self._node_image_row = np.repeat(
+            np.arange(len(self.image_ids), dtype=np.int32), counts_per_img
+        )
+        self._offset_of_row = offset_of_row
+        self.num_nodes = num_nodes
         return self
 
     # -- queries -----------------------------------------------------------
