@@ -51,7 +51,7 @@ def cmd_match(cfg, log=print):
     log(f"[match] wrote {n} pairs in {time.perf_counter()-t0:.1f}s")
 
 
-def cmd_check_matches(cfg, log=print):
+def cmd_check_matches(cfg, log=print, render_dir=None):
     from monocularsfm_tpu.database import Database
 
     db = Database(cfg.database_path)
@@ -64,6 +64,29 @@ def cmd_check_matches(cfg, log=print):
         )
         for cnt, a, b in counts[:50]:
             log(f"  {names.get(a, a)} -- {names.get(b, b)}: {cnt}")
+        if render_dir:
+            # Headless ShowMatches: render the top pairs to PNGs.
+            import cv2
+
+            from monocularsfm_tpu.utils.debug_draw import draw_matches
+
+            out = pathlib.Path(render_dir)
+            out.mkdir(parents=True, exist_ok=True)
+            root = pathlib.Path(cfg.images_path)
+            for cnt, a, b in counts[:20]:
+                if cnt == 0:
+                    continue
+                m = matches[(a, b)]
+                k1 = db.read_keypoints(a)
+                k2 = db.read_keypoints(b)
+                i1 = cv2.imread(str(root / names[a]))
+                i2 = cv2.imread(str(root / names[b]))
+                if i1 is None or i2 is None:
+                    continue
+                draw_matches(
+                    i1, i2, k1[m[:, 0], :2], k2[m[:, 1], :2],
+                    out / f"matches_{a}_{b}.png",
+                )
         nonzero = [c for c, _, _ in counts if c > 0]
         if nonzero:
             log(
@@ -130,6 +153,11 @@ def main(argv=None):
     for name in ("extract", "match", "check-matches", "reconstruct", "pipeline"):
         p = sub.add_parser(name)
         p.add_argument("config", help="YAML config (reference-style or nested)")
+        if name == "check-matches":
+            p.add_argument(
+                "--render-dir", default=None,
+                help="write side-by-side match PNGs for the top pairs here",
+            )
     args = parser.parse_args(argv)
 
     # Persistent XLA compilation cache: the incremental loop compiles one
@@ -153,7 +181,7 @@ def main(argv=None):
     elif args.command == "match":
         cmd_match(cfg)
     elif args.command == "check-matches":
-        cmd_check_matches(cfg)
+        cmd_check_matches(cfg, render_dir=args.render_dir)
     elif args.command == "reconstruct":
         cmd_reconstruct(cfg)
     elif args.command == "pipeline":

@@ -460,6 +460,10 @@ class Map:
         """CompletePoints3D (Map.cpp:654-760): BFS outward along the scene
         graph from each track element; attach unassigned correspondents in
         registered images whose reprojection error is under threshold."""
+        if self._native is not None:
+            return self._complete_points_native(
+                point_ids, max_error_px, max_transitivity
+            )
         completed = 0
         for pid in point_ids:
             pid = int(pid)
@@ -492,29 +496,156 @@ class Map:
                 frontier = next_frontier
         return completed
 
-    def filter_points(self, point_ids, max_error_px: float = 4.0,
-                      min_tri_angle_deg: float = 1.5) -> int:
-        """FilterPoints3D (Map.cpp:804-917): drop large-error observations
-        (whole point if its track shrinks below 2), then drop points whose
-        best pairwise parallax is under the threshold."""
-        removed = 0
+    def _complete_points_native(self, point_ids, max_error_px, max_transitivity):
+        """Native-BFS completion: candidates from the C++ graph walk, error
+        tests vectorised.  Semantics note (documented divergence): the BFS
+        expands through every unassigned correspondent rather than only
+        through accepted ones — a superset of the reference's candidate set;
+        every addition is still gated by the same reprojection threshold.
+        """
+        g = self.scene_graph
+        rows = g._node_image_row
+        offs = g._offset_of_row
+        ids_list = g.image_ids
+        completed = 0
+        cand_buf = np.empty(4096, np.int32)
+        depth_buf = np.empty(4096, np.int32)
         for pid in point_ids:
             pid = int(pid)
             if not self._alive[pid]:
                 continue
-            errs = self.reproj_errors_of_track(pid)
-            bad = np.nonzero(errs > max_error_px)[0]
-            if len(bad):
-                track = list(self._tracks[pid])
-                for b in bad:
-                    image_id, kpt = track[b]
-                    if not self._alive[pid]:
-                        break
-                    self.remove_observation(pid, image_id, kpt)
-                    removed += 1
-                if not self._alive[pid]:
-                    continue
-            if not self.track_parallax_ok(pid, min_tri_angle_deg):
+            track = self._tracks[pid]
+            nodes = np.array(
+                [g._node_offset[i] + k for i, k in track
+                 if i in g._node_offset], np.int32,
+            )
+            if not len(nodes):
+                continue
+            n = self._native.completion_candidates(
+                nodes, len(nodes), g._indptr, g._adj_node, rows,
+                self._node_p3d, self._registered_rows, g.num_nodes,
+                max_transitivity, len(cand_buf), cand_buf, depth_buf,
+            )
+            if n == 0:
+                continue
+            cands = cand_buf[:n]
+            X = self._xyz[pid]
+            # Vectorised error test over the candidates.
+            c_rows = rows[cands]
+            c_kpts = cands - offs[c_rows]
+            img_ids = [ids_list[r] for r in c_rows]
+            Rs = np.stack([self.images[i].R for i in img_ids])
+            ts = np.stack([self.images[i].t for i in img_ids])
+            uv = np.stack(
+                [self.images[i].uv[k] for i, k in zip(img_ids, c_kpts)]
+            )
+            xc = Rs @ X + ts
+            z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+            u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
+            v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
+            err = np.hypot(u - uv[:, 0], v - uv[:, 1])
+            err = np.where(xc[:, 2] <= 0, 1e12, err)
+            for j in np.nonzero(err <= max_error_px)[0]:
+                image_id, kpt = img_ids[j], int(c_kpts[j])
+                if self.images[image_id].point3D[kpt] < 0:
+                    self.add_observation(pid, image_id, kpt)
+                    completed += 1
+        return completed
+
+    def _batch_track_errors(self, pids):
+        """Vectorised reprojection errors for many tracks at once.
+
+        Returns (obs_pid (O,), obs_img (O,), obs_kpt (O,), err (O,)) over all
+        observations of all (alive) given points."""
+        obs_pid, obs_img, obs_kpt = [], [], []
+        for pid in pids:
+            pid = int(pid)
+            if not self._alive[pid]:
+                continue
+            for image_id, kpt in self._tracks[pid]:
+                obs_pid.append(pid)
+                obs_img.append(image_id)
+                obs_kpt.append(kpt)
+        if not obs_pid:
+            z = np.zeros(0, np.int64)
+            return z, z, z, np.zeros(0)
+        obs_pid = np.array(obs_pid)
+        obs_img = np.array(obs_img)
+        obs_kpt = np.array(obs_kpt)
+        # Stack per-observation poses/uv through registered-image lookup.
+        reg = sorted({int(i) for i in obs_img})
+        row_of = {img: r for r, img in enumerate(reg)}
+        Rs = np.stack([self.images[i].R for i in reg])
+        ts = np.stack([self.images[i].t for i in reg])
+        rows = np.array([row_of[int(i)] for i in obs_img])
+        X = self._xyz[obs_pid]
+        xc = np.einsum("oij,oj->oi", Rs[rows], X) + ts[rows]
+        z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+        u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
+        v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
+        uv = np.stack(
+            [self.images[int(i)].uv[int(k)] for i, k in zip(obs_img, obs_kpt)]
+        ) if len(obs_img) < 4096 else self._gather_uv(obs_img, obs_kpt)
+        err = np.hypot(u - uv[:, 0], v - uv[:, 1])
+        # Behind-camera observations are unconditionally bad.
+        err = np.where(xc[:, 2] <= 0, 1e12, err)
+        return obs_pid, obs_img, obs_kpt, err
+
+    def _gather_uv(self, obs_img, obs_kpt):
+        """uv gather without per-row Python when the batch is large."""
+        out = np.empty((len(obs_img), 2))
+        uniq = np.unique(obs_img)
+        for i in uniq:
+            m = obs_img == i
+            out[m] = self.images[int(i)].uv[obs_kpt[m]]
+        return out
+
+    def filter_points(self, point_ids, max_error_px: float = 4.0,
+                      min_tri_angle_deg: float = 1.5) -> int:
+        """FilterPoints3D (Map.cpp:804-917): drop large-error observations
+        (whole point if its track shrinks below 2), then drop points whose
+        best pairwise parallax is under the threshold.  Error and parallax
+        math is fully vectorised; only the (few) removals mutate in Python.
+        """
+        removed = 0
+        obs_pid, obs_img, obs_kpt, err = self._batch_track_errors(point_ids)
+        bad = err > max_error_px
+        for o in np.nonzero(bad)[0]:
+            pid = int(obs_pid[o])
+            if not self._alive[pid]:
+                continue
+            if (int(obs_img[o]), int(obs_kpt[o])) in self._tracks[pid]:
+                self.remove_observation(pid, int(obs_img[o]), int(obs_kpt[o]))
+                removed += 1
+        # Parallax pass, vectorised over padded camera-center tables.
+        alive = [int(p) for p in point_ids if self._alive[int(p)]]
+        if not alive:
+            return removed
+        Tm = max(len(self._tracks[p]) for p in alive)
+        n = len(alive)
+        centers = np.zeros((n, Tm, 3))
+        valid = np.zeros((n, Tm), bool)
+        cache: dict[int, np.ndarray] = {}
+        for r_i, pid in enumerate(alive):
+            for s, (image_id, _) in enumerate(self._tracks[pid][:Tm]):
+                Cc = cache.get(image_id)
+                if Cc is None:
+                    im = self.images[image_id]
+                    Cc = -im.R.T @ im.t
+                    cache[image_id] = Cc
+                centers[r_i, s] = Cc
+                valid[r_i, s] = True
+        X = self._xyz[alive][:, None, :]
+        d = centers - X
+        nd = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        cos = np.clip(np.einsum("nti,nsi->nts", nd, nd), -1, 1)
+        ang = np.degrees(np.arccos(cos))
+        ang = np.where(ang > 90, 180 - ang, ang)
+        pair_ok = valid[:, :, None] & valid[:, None, :]
+        ang = np.where(pair_ok & ~np.eye(Tm, dtype=bool)[None], ang, 0.0)
+        has_angle = ang.max(axis=(1, 2)) >= min_tri_angle_deg
+        for r_i, pid in enumerate(alive):
+            if not has_angle[r_i] and self._alive[pid]:
                 removed += len(self._tracks[pid])
                 self.delete_point3d(pid)
         return removed
@@ -627,12 +758,9 @@ class Map:
     # -- statistics ----------------------------------------------------------
     def statistics(self) -> MapStatistics:
         pids = self.point_ids()
-        num_obs = 0
-        err_sum = 0.0
-        for pid in pids:
-            errs = self.reproj_errors_of_track(int(pid))
-            num_obs += len(errs)
-            err_sum += float(errs.sum())
+        _, _, _, err = self._batch_track_errors(pids)
+        num_obs = len(err)
+        err_sum = float(err.sum())
         n_pts = len(pids)
         n_reg = len(self.registered_ids)
         return MapStatistics(
