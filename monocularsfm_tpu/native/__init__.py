@@ -73,6 +73,10 @@ def get_lib():
         i64, i64, p_i64, p_i32, p_i32, p_u8,
     ]
     lib.count_registered_correspondences.restype = i64
+    lib.find_merge_partner.argtypes = [
+        p_i32, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64,
+    ]
+    lib.find_merge_partner.restype = i64
     _lib = lib
     return _lib
 

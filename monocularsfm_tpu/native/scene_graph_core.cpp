@@ -157,6 +157,27 @@ int64_t completion_candidates(const int32_t* track_nodes, int64_t track_len,
   return count;
 }
 
+// Merge-partner search (reference Map::MergePoint3D candidate discovery,
+// Map.cpp:507-560): walk the correspondences of every node in a track and
+// return the first 3D point id different from `self_pid` assigned to a
+// correspondent in a registered image; -1 if none.
+int64_t find_merge_partner(const int32_t* track_nodes, int64_t track_len,
+                           const int64_t* indptr, const int32_t* adj_node,
+                           const int32_t* node_image, const int64_t* p3d,
+                           const uint8_t* registered, int64_t self_pid) {
+  for (int64_t i = 0; i < track_len; ++i) {
+    const int32_t node = track_nodes[i];
+    const int64_t s = indptr[node], e = indptr[node + 1];
+    for (int64_t j = s; j < e; ++j) {
+      const int32_t other = adj_node[j];
+      if (!registered[node_image[other]]) continue;
+      const int64_t pid = p3d[other];
+      if (pid >= 0 && pid != self_pid) return pid;
+    }
+  }
+  return -1;
+}
+
 // Per-image correspondence statistics against the registered set
 // (scheduler support): number of adjacency entries whose other endpoint is
 // registered, for ranking candidate images.

@@ -88,6 +88,7 @@ class Map:
         self._node_p3d: np.ndarray | None = None
         self._registered_rows: np.ndarray | None = None
         self._native = None
+        self._merge_tables = None
 
         # Point cloud SoA (amortised growth).
         cap = 1024
@@ -130,6 +131,16 @@ class Map:
                 self._registered_rows = np.zeros(
                     len(scene_graph.image_ids), np.uint8
                 )
+                # Node-level undistorted-uv table (keypoints never move, so
+                # this is built once): turns per-candidate Python lookups in
+                # the maintenance passes into pure array indexing.
+                self._node_uv = np.zeros((scene_graph.num_nodes, 2))
+                for img in scene_graph.image_ids:
+                    if img in self.images:
+                        base = scene_graph._node_offset[img]
+                        uv = self.images[img].uv
+                        n = min(len(uv), scene_graph.num_keypoints[img])
+                        self._node_uv[base : base + n] = uv[:n]
                 # Mirror any pre-existing state.
                 for image_id, im in self.images.items():
                     if image_id in scene_graph._node_offset:
@@ -404,18 +415,33 @@ class Map:
         observation of the merged track reprojects under the threshold.
         Weighted-average position by track length."""
         merged = 0
+        use_native = self._native is not None
+        if use_native:
+            g = self.scene_graph
+            R_tab, t_tab = self._pose_row_tables()
+            self._merge_tables = (g, R_tab, t_tab)
         queue = [int(p) for p in point_ids]
         while queue:
             pid = queue.pop()
             if not self._alive[pid]:
                 continue
-            partner = self._find_merge_partner(pid)
+            if use_native:
+                nodes = self._node_track(pid)
+                partner = self._native.find_merge_partner(
+                    nodes, len(nodes), g._indptr, g._adj_node,
+                    g._node_image_row, self._node_p3d,
+                    self._registered_rows, pid,
+                ) if len(nodes) else -1
+                partner = None if partner < 0 else int(partner)
+            else:
+                partner = self._find_merge_partner(pid)
             if partner is None:
                 continue
             new_pid = self._merge_two(pid, partner, max_error_px)
             if new_pid is not None:
                 merged += 1
                 queue.append(new_pid)  # recursive re-merge
+        self._merge_tables = None
         return merged
 
     def _find_merge_partner(self, pid: int):
@@ -443,10 +469,25 @@ class Map:
                 return None
             seen.add((image_id, kpt))
             combined.append((image_id, kpt))
-        for image_id, kpt in combined:
-            uv = self.images[image_id].uv[kpt]
-            if np.linalg.norm(self._project(image_id, X) - uv) > max_error_px:
+        if self._merge_tables is not None:
+            g, R_tab, t_tab = self._merge_tables
+            nodes = np.array(
+                [g._node_offset[i] + k for i, k in combined], np.int64
+            )
+            rows = g._node_image_row[nodes]
+            xc = R_tab[rows] @ X + t_tab[rows]
+            z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+            u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
+            v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
+            uv = self._node_uv[nodes]
+            err = np.hypot(u - uv[:, 0], v - uv[:, 1])
+            if (err > max_error_px).any() or (xc[:, 2] <= 0).any():
                 return None
+        else:
+            for image_id, kpt in combined:
+                uv = self.images[image_id].uv[kpt]
+                if np.linalg.norm(self._project(image_id, X) - uv) > max_error_px:
+                    return None
         # Accept: delete both, create merged point.
         rgb = (self._rgb[pid] * n1 + self._rgb[qid] * n2) / (n1 + n2)
         self.delete_point3d(pid)
@@ -496,6 +537,30 @@ class Map:
                 frontier = next_frontier
         return completed
 
+    def _pose_row_tables(self):
+        """Per-image-row pose tables for vectorised candidate tests.
+
+        Returns (R (NI,3,3), t (NI,3)); unregistered rows hold identity."""
+        g = self.scene_graph
+        ni = len(g.image_ids)
+        R = np.tile(np.eye(3), (ni, 1, 1))
+        t = np.zeros((ni, 3))
+        for r, img in enumerate(g.image_ids):
+            im = self.images.get(img)
+            if im is not None and im.registered:
+                R[r] = im.R
+                t[r] = im.t
+        return R, t
+
+    def _node_track(self, pid):
+        """Track as flat node ids (native-call input)."""
+        g = self.scene_graph
+        return np.array(
+            [g._node_offset[i] + k for i, k in self._tracks[pid]
+             if i in g._node_offset],
+            np.int32,
+        )
+
     def _complete_points_native(self, point_ids, max_error_px, max_transitivity):
         """Native-BFS completion: candidates from the C++ graph walk, error
         tests vectorised.  Semantics note (documented divergence): the BFS
@@ -507,6 +572,7 @@ class Map:
         rows = g._node_image_row
         offs = g._offset_of_row
         ids_list = g.image_ids
+        R_tab, t_tab = self._pose_row_tables()
         completed = 0
         cand_buf = np.empty(4096, np.int32)
         depth_buf = np.empty(4096, np.int32)
@@ -514,11 +580,7 @@ class Map:
             pid = int(pid)
             if not self._alive[pid]:
                 continue
-            track = self._tracks[pid]
-            nodes = np.array(
-                [g._node_offset[i] + k for i, k in track
-                 if i in g._node_offset], np.int32,
-            )
+            nodes = self._node_track(pid)
             if not len(nodes):
                 continue
             n = self._native.completion_candidates(
@@ -528,25 +590,20 @@ class Map:
             )
             if n == 0:
                 continue
-            cands = cand_buf[:n]
+            cands = cand_buf[:n].copy()
             X = self._xyz[pid]
-            # Vectorised error test over the candidates.
+            # Vectorised error test over the candidates (table lookups only).
             c_rows = rows[cands]
             c_kpts = cands - offs[c_rows]
-            img_ids = [ids_list[r] for r in c_rows]
-            Rs = np.stack([self.images[i].R for i in img_ids])
-            ts = np.stack([self.images[i].t for i in img_ids])
-            uv = np.stack(
-                [self.images[i].uv[k] for i, k in zip(img_ids, c_kpts)]
-            )
-            xc = Rs @ X + ts
+            xc = R_tab[c_rows] @ X + t_tab[c_rows]
             z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
             u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
             v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
+            uv = self._node_uv[cands]
             err = np.hypot(u - uv[:, 0], v - uv[:, 1])
             err = np.where(xc[:, 2] <= 0, 1e12, err)
             for j in np.nonzero(err <= max_error_px)[0]:
-                image_id, kpt = img_ids[j], int(c_kpts[j])
+                image_id, kpt = ids_list[c_rows[j]], int(c_kpts[j])
                 if self.images[image_id].point3D[kpt] < 0:
                     self.add_observation(pid, image_id, kpt)
                     completed += 1
