@@ -141,6 +141,10 @@ class MapBuilderConfig:
     local_ba_window: int = 5          # top-k covisible images (Map.cpp:1000)
     is_visualization: bool = False
     registration_trials_max: int = 3  # RegisterGraph retry budget per image
+    # Mid-run checkpointing (new — the reference loses the map on a crash,
+    # SURVEY.md section 5): write a COLMAP snapshot every N registrations.
+    snapshot_every_registrations: int = 0  # 0 = off
+    snapshot_dir: str = ""
 
 
 @dataclasses.dataclass

@@ -262,11 +262,14 @@ class MapBuilder:
     # -- main loop ------------------------------------------------------------
     def do_build(self) -> BuildSummary:
         with self.timers["total"]:
-            if not self.try_initialize():
+            if len(self.map.registered_ids) >= 2:
+                self._log("[build] map already initialized (resume)")
+            elif not self.try_initialize():
                 self._log("[build] initialization failed")
                 return self.summary()
-            self.global_ba()
-            self.maintain_tracks(self.map.point_ids())
+            else:
+                self.global_ba()
+                self.maintain_tracks(self.map.point_ids())
 
             while True:
                 candidates = self.register_graph.get_next_image_ids()
@@ -281,6 +284,7 @@ class MapBuilder:
                     self.triangulate_new(image_id)
                     if self.viz is not None:
                         self.viz.update(self.map)
+                    self._maybe_snapshot()
                     n_reg = len(self.map.registered_ids)
                     if n_reg >= self.cfg.map_builder.global_ba_ratio * max(
                         self._last_global_ba_count, 2
@@ -303,6 +307,48 @@ class MapBuilder:
             self.viz.update(self.map)  # final frame
             self.viz.close()
         return self.summary()
+
+    def _maybe_snapshot(self):
+        every = self.cfg.map_builder.snapshot_every_registrations
+        if not every:
+            return
+        n = len(self.map.registered_ids)
+        if n % every:
+            return
+        from monocularsfm_tpu.io.colmap import write_colmap
+
+        out = self.cfg.map_builder.snapshot_dir or (
+            (self.cfg.output_path or ".") + "/snapshot"
+        )
+        write_colmap(self.map, out)
+        self._log(f"[snapshot] {n} images -> {out}")
+
+    def resume_from(self, model_dir):
+        """Resume reconstruction from a COLMAP snapshot: restore poses,
+        points and track back-pointers into the already-setup() builder and
+        rewire the register scheduler.  The reference writes this format but
+        can never read it back (SURVEY.md section 5)."""
+        from monocularsfm_tpu.io.colmap import read_colmap
+
+        model = read_colmap(model_dir)
+        for image_id, im in model["images"].items():
+            if image_id not in self.map.images:
+                continue
+            self.map.add_image_pose(image_id, im["R"], im["t"])
+            self.register_graph.set_registered(image_id)
+        for pid, pt in sorted(model["points"].items()):
+            track = [
+                (i, k) for i, k in pt["track"]
+                if i in self.map.images and self.map.images[i].point3D[k] < 0
+            ]
+            if len(track) >= 2:
+                self.map.add_point3d(pt["xyz"], track)
+        self.map.modified_point3D_ids.clear()
+        self._last_global_ba_count = len(self.map.registered_ids)
+        self._log(
+            f"[resume] {len(self.map.registered_ids)} images, "
+            f"{self.map.num_points3D} points restored"
+        )
 
     def summary(self) -> BuildSummary:
         st = self.map.statistics()

@@ -161,6 +161,7 @@ class Map:
     # -- basic mutations -----------------------------------------------------
     def add_image_pose(self, image_id: int, R: np.ndarray, t: np.ndarray):
         im = self.images[image_id]
+        assert not im.registered, f"image {image_id} registered twice"
         im.R = np.asarray(R, np.float64)
         im.t = np.asarray(t, np.float64).reshape(3)
         im.registered = True
