@@ -70,6 +70,9 @@ class MapBuilder:
         }
         self._last_global_ba_count = 0
         self._log = print
+        # Optional structured metrics stream (SURVEY.md section 5 plan:
+        # "metrics to stdout + optional jsonl").
+        self._metrics_fh = None
         # Async visualization (reference refreshes every 6 images,
         # MapBuilder.cpp:172-182; ours snapshots PLY + HTML viewer).
         self.viz = None
@@ -181,6 +184,11 @@ class MapBuilder:
                 f"{stats.num_point2D_3D_correspondences} inliers, "
                 f"residual {stats.ave_residual:.2f} px"
             )
+            self._metric(
+                "register", image_id=int(image_id),
+                inliers=stats.num_inliers,
+                residual_px=round(stats.ave_residual, 4),
+            )
         return True
 
     def triangulate_new(self, image_id: int) -> int:
@@ -242,6 +250,11 @@ class MapBuilder:
             )
             self.map.update_from_ba(out, image_ids, pids)
             self._last_global_ba_count = len(self.map.registered_ids)
+            self._metric(
+                "global_ba", cams=len(image_ids),
+                iters=int(out["iterations"]),
+                rmse=round(float(out["rmse_final"]), 5),
+            )
             return out
 
     def maintain_tracks(self, point_ids):
@@ -307,6 +320,23 @@ class MapBuilder:
             self.viz.update(self.map)  # final frame
             self.viz.close()
         return self.summary()
+
+    def enable_metrics(self, path):
+        """Write one JSON line per event (register/ba/...) to `path`."""
+        self._metrics_fh = open(path, "a")
+        return self
+
+    def _metric(self, event: str, **fields):
+        if self._metrics_fh is None:
+            return
+        import json
+        import time as _time
+
+        rec = {"t": round(_time.time(), 3), "event": event,
+               "num_registered": len(self.map.registered_ids),
+               "num_points": self.map.num_points3D, **fields}
+        self._metrics_fh.write(json.dumps(rec) + "\n")
+        self._metrics_fh.flush()
 
     def _maybe_snapshot(self):
         every = self.cfg.map_builder.snapshot_every_registrations
