@@ -114,10 +114,15 @@ class FeatureExtractor:
 
     def run_extraction(self, images_path: str, database_path: str,
                        log=print) -> int:
-        """Process a directory into the database; resumes idempotently."""
+        """Process a directory into the database; resumes idempotently.
+
+        With the jax backend, same-sized images are processed in batches of
+        cfg.batch_size — one device dispatch per octave covers the whole
+        batch (image-parallel extraction)."""
         db = Database(database_path)
         count = 0
         try:
+            pending = []
             for path in list_images(images_path):
                 name = path.name
                 if db.exist_image(name):
@@ -126,15 +131,75 @@ class FeatureExtractor:
                         continue  # resume: already done
                 else:
                     image_id = db.write_image(name)
+                pending.append((image_id, name, path))
+
+            if self.cfg.backend != "jax":
+                for image_id, name, path in pending:
+                    gray, bgr = _load_gray_and_color(path)
+                    kps, colors, desc = self.extract_one(gray, bgr)
+                    self._write(db, image_id, kps, colors, desc)
+                    count += 1
+                    log(f"[extract] {name}: {len(kps)} features")
+                return count
+
+            # jax backend: group by post-resize shape, dispatch in batches.
+            import cv2
+
+            batch, metas = [], []
+
+            def flush():
+                nonlocal count
+                if not batch:
+                    return
+                sift = self._get_sift()
+                # Pad partial batches to the fixed batch size with zero
+                # images (dropped below) so each image shape compiles once.
+                n_real = len(batch)
+                while len(batch) < self.cfg.batch_size:
+                    batch.append(np.zeros_like(batch[0]))
+                kps_list, desc_list = sift.extract_batch(np.stack(batch))
+                kps_list, desc_list = kps_list[:n_real], desc_list[:n_real]
+                for (image_id, name, bgr, scale, w, h), kps, desc in zip(
+                    metas, kps_list, desc_list
+                ):
+                    if scale != 1.0:
+                        kps = kps.copy()
+                        kps[:, :3] /= scale
+                    if len(kps):
+                        xi = np.clip(np.round(kps[:, 0]).astype(int), 0, w - 1)
+                        yi = np.clip(np.round(kps[:, 1]).astype(int), 0, h - 1)
+                        colors = bgr[yi, xi].astype(np.uint8)
+                    else:
+                        colors = np.zeros((0, 3), np.uint8)
+                    self._write(db, image_id, kps, colors, desc)
+                    count += 1
+                    log(f"[extract] {name}: {len(kps)} features")
+                batch.clear()
+                metas.clear()
+
+            for image_id, name, path in pending:
                 gray, bgr = _load_gray_and_color(path)
-                kps, colors, desc = self.extract_one(gray, bgr)
-                db.begin_transaction()
-                db.write_keypoints(image_id, kps)
-                db.write_keypoints_color(image_id, colors)
-                db.write_descriptors(image_id, desc)
-                db.end_transaction()
-                count += 1
-                log(f"[extract] {name}: {len(kps)} features")
+                h, w = gray.shape[:2]
+                scale = _scale_for(self.cfg.max_image_size, h, w)
+                gray_s = (
+                    cv2.resize(gray, (int(w * scale), int(h * scale)))
+                    if scale != 1.0 else gray
+                )
+                if batch and batch[0].shape != gray_s.shape:
+                    flush()
+                batch.append(gray_s)
+                metas.append((image_id, name, bgr, scale, w, h))
+                if len(batch) >= self.cfg.batch_size:
+                    flush()
+            flush()
         finally:
             db.close()
         return count
+
+    @staticmethod
+    def _write(db, image_id, kps, colors, desc):
+        db.begin_transaction()
+        db.write_keypoints(image_id, kps)
+        db.write_keypoints_color(image_id, colors)
+        db.write_descriptors(image_id, desc)
+        db.end_transaction()

@@ -371,6 +371,27 @@ def _orient_and_describe(gauss: jnp.ndarray, det: dict):
     return angles, avalid, desc
 
 
+@functools.partial(jax.jit, static_argnames=("K",))
+def _detect_octave_batched(gauss_b, K, contrast_thr):
+    """vmapped extrema detection: gauss_b (B, S, H, W)."""
+    return jax.vmap(lambda g: _detect_octave(g, K, contrast_thr))(gauss_b)
+
+
+@jax.jit
+def _orient_describe_batched(gauss_b, det_b):
+    return jax.vmap(_orient_and_describe)(gauss_b, det_b)
+
+
+@functools.partial(jax.jit, static_argnames=("upsample",))
+def _base_image_batched(imgs, upsample: bool = True):
+    return jax.vmap(lambda im: _base_image(im, upsample=upsample))(imgs)
+
+
+@jax.jit
+def _build_octave_batched(base_b):
+    return jax.vmap(_build_octave)(base_b)
+
+
 class SIFT:
     """Host orchestration: octave loop + final keypoint selection.
 
@@ -391,67 +412,89 @@ class SIFT:
 
     def extract(self, image: np.ndarray):
         """image: (H, W) uint8 or float in [0, 255]."""
-        img = jnp.asarray(np.asarray(image, np.float32) / 255.0)
-        base = _base_image(img, upsample=self.upsample)
+        kps, descs = self.extract_batch(np.asarray(image)[None])
+        return kps[0], descs[0]
+
+    def extract_batch(self, images: np.ndarray):
+        """images: (B, H, W) same-sized batch — one device dispatch per
+        octave covers the whole batch (image-parallel extraction, SURVEY.md
+        parallelism plan (a)).
+
+        Returns (list of (Ni, 4) keypoints, list of (Ni, 128) descriptors).
+        """
+        B = images.shape[0]
+        imgs = jnp.asarray(np.asarray(images, np.float32) / 255.0)
+        base = _base_image_batched(imgs, upsample=self.upsample)
         first_octave = -1 if self.upsample else 0
-        H0, W0 = base.shape
+        H0, W0 = base.shape[1:]
         num_octaves = int(np.round(np.log2(min(H0, W0)))) - 3
         num_octaves = max(min(num_octaves, 8), 1)
 
-        all_kp = []
-        all_desc = []
+        all_kp = [[] for _ in range(B)]
+        all_desc = [[] for _ in range(B)]
         g = base
         for o in range(num_octaves):
-            gauss = _build_octave(g)
+            gauss = _build_octave_batched(g)  # (B, S, H, W)
+            h, w_ = g.shape[1:]
             # Small octaves have fewer pixels than the candidate budget.
-            k_oct = min(self.k_per_octave, N_SCALES * g.shape[0] * g.shape[1])
-            det = _detect_octave(gauss, k_oct, self.contrast_threshold)
-            angles, avalid, desc = _orient_and_describe(gauss, det)
-            valid = np.asarray(det["valid"])
-            if valid.any():
-                xs = np.asarray(det["x"])
-                ys = np.asarray(det["y"])
-                sig = np.asarray(det["sigma_octave"])
-                ang = np.asarray(angles)
-                av = np.asarray(avalid)
-                de = np.asarray(desc)
-                octave_scale = 2.0 ** (o + first_octave)
+            k_oct = min(self.k_per_octave, N_SCALES * h * w_)
+            det = _detect_octave_batched(gauss, k_oct, self.contrast_threshold)
+            angles, avalid, desc = _orient_describe_batched(gauss, det)
+            valid_b = np.asarray(det["valid"])
+            xs_b = np.asarray(det["x"])
+            ys_b = np.asarray(det["y"])
+            sig_b = np.asarray(det["sigma_octave"])
+            ang_b = np.asarray(angles)
+            av_b = np.asarray(avalid)
+            de_b = np.asarray(desc)
+            octave_scale = 2.0 ** (o + first_octave)
+            for b in range(B):
+                valid = valid_b[b]
+                if not valid.any():
+                    continue
                 for slot in range(2):
-                    keep = valid & av[:, slot]
+                    keep = valid & av_b[b, :, slot]
                     if not keep.any():
                         continue
                     kp = np.stack(
                         [
-                            xs[keep] * octave_scale,
-                            ys[keep] * octave_scale,
-                            sig[keep] * octave_scale * 2.0,  # size ~ 2*sigma
-                            np.degrees(ang[keep, slot]),
+                            xs_b[b][keep] * octave_scale,
+                            ys_b[b][keep] * octave_scale,
+                            sig_b[b][keep] * octave_scale * 2.0,  # size ~ 2*sigma
+                            np.degrees(ang_b[b][keep, slot]),
                         ],
                         axis=1,
                     )
-                    all_kp.append(kp)
-                    all_desc.append(de[keep, slot])
+                    all_kp[b].append(kp)
+                    all_desc[b].append(de_b[b][keep, slot])
             # Next octave: downsample the scale-(N_SCALES) gaussian image.
-            g = gauss[N_SCALES][::2, ::2]
-            if min(g.shape) < 16:
+            g = gauss[:, N_SCALES, ::2, ::2]
+            if min(g.shape[1:]) < 16:
                 break
 
-        if not all_kp:
-            return np.zeros((0, 4), np.float32), np.zeros((0, 128), np.float32)
-        kps = np.concatenate(all_kp)
-        descs = np.concatenate(all_desc)
-        # Top num_features by size (scale), descending — reference policy.
-        if len(kps) > self.num_features:
-            order = np.argsort(-kps[:, 2], kind="stable")[: self.num_features]
-            kps, descs = kps[order], descs[order]
-        if self.normalization == "l1_root":
-            # RootSIFT: L1-normalise then sqrt -> unit L2 (FeatureUtils.cpp:260-270).
-            descs = descs / np.maximum(
-                np.abs(descs).sum(axis=1, keepdims=True), 1e-12
-            )
-            descs = np.sqrt(descs)
-        else:  # l2
-            descs = descs / np.maximum(
-                np.linalg.norm(descs, axis=1, keepdims=True), 1e-12
-            )
-        return kps.astype(np.float32), descs.astype(np.float32)
+        out_kp, out_desc = [], []
+        for b in range(B):
+            if not all_kp[b]:
+                out_kp.append(np.zeros((0, 4), np.float32))
+                out_desc.append(np.zeros((0, 128), np.float32))
+                continue
+            kps = np.concatenate(all_kp[b])
+            descs = np.concatenate(all_desc[b])
+            # Top num_features by size (scale), descending — reference policy.
+            if len(kps) > self.num_features:
+                order = np.argsort(-kps[:, 2], kind="stable")[: self.num_features]
+                kps, descs = kps[order], descs[order]
+            if self.normalization == "l1_root":
+                # RootSIFT: L1-normalise then sqrt -> unit L2
+                # (FeatureUtils.cpp:260-270).
+                descs = descs / np.maximum(
+                    np.abs(descs).sum(axis=1, keepdims=True), 1e-12
+                )
+                descs = np.sqrt(descs)
+            else:  # l2
+                descs = descs / np.maximum(
+                    np.linalg.norm(descs, axis=1, keepdims=True), 1e-12
+                )
+            out_kp.append(kps.astype(np.float32))
+            out_desc.append(descs.astype(np.float32))
+        return out_kp, out_desc

@@ -41,7 +41,7 @@ Camera.cx: {W/2}
 Camera.cy: {H/2}
 Reconstruction.output_path: {tmp_path/'out'}
 extraction:
-  k_ignored: 0
+  batch_size: 2
 """
     )
     assert cli.main(["pipeline", str(cfg_path)]) == 0
