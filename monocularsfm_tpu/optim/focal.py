@@ -15,12 +15,10 @@ mild focal errors this option exists to absorb.
 
 from __future__ import annotations
 
-import dataclasses
-
 import jax
 import jax.numpy as jnp
 
-from monocularsfm_tpu.optim.ba import BundleProblem, bundle_adjust, _residuals
+from monocularsfm_tpu.optim.ba import BundleProblem, bundle_adjust
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 

@@ -15,8 +15,6 @@ keypoint_idx) pairs flattened as image_offset + kpt.
 
 from __future__ import annotations
 
-import collections
-
 import numpy as np
 
 
