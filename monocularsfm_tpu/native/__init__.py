@@ -66,7 +66,7 @@ def get_lib():
     lib.triangulation_tracks.restype = i64
     lib.completion_candidates.argtypes = [
         p_i32, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64, i64, i64,
-        p_i32, p_i32,
+        p_i32, p_i32, p_i32, ctypes.c_int32,
     ]
     lib.completion_candidates.restype = i64
     lib.count_registered_correspondences.argtypes = [

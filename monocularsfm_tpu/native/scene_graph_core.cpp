@@ -123,16 +123,21 @@ int64_t triangulation_tracks(int64_t node_base, int64_t num_kpts,
 // unassigned nodes in registered images (the geometric accept test happens
 // on the caller side / device).  visited-set is a byte map over nodes.
 // Returns number of candidate nodes written.
+// visited_epoch is a caller-owned int32[num_nodes] scratch; a node counts as
+// visited when visited_epoch[node] == epoch.  The caller bumps `epoch` per
+// call — no O(num_nodes) clears anywhere (a fresh byte-map per point cost
+// ~2 MB of memset per call at NEU scale, which dominated everything).
 int64_t completion_candidates(const int32_t* track_nodes, int64_t track_len,
                               const int64_t* indptr, const int32_t* adj_node,
                               const int32_t* node_image, const int64_t* p3d,
                               const uint8_t* registered,
                               int64_t num_nodes, int64_t max_depth,
                               int64_t capacity,
-                              int32_t* out_nodes, int32_t* out_depth) {
-  std::vector<uint8_t> visited(num_nodes, 0);
+                              int32_t* out_nodes, int32_t* out_depth,
+                              int32_t* visited_epoch, int32_t epoch) {
+  (void)num_nodes;
   std::vector<int32_t> frontier(track_nodes, track_nodes + track_len);
-  for (int64_t i = 0; i < track_len; ++i) visited[track_nodes[i]] = 1;
+  for (int64_t i = 0; i < track_len; ++i) visited_epoch[track_nodes[i]] = epoch;
   int64_t count = 0;
   for (int64_t depth = 1; depth <= max_depth && !frontier.empty(); ++depth) {
     std::vector<int32_t> next;
@@ -140,8 +145,8 @@ int64_t completion_candidates(const int32_t* track_nodes, int64_t track_len,
       const int64_t s = indptr[node], e = indptr[node + 1];
       for (int64_t j = s; j < e; ++j) {
         const int32_t other = adj_node[j];
-        if (visited[other]) continue;
-        visited[other] = 1;
+        if (visited_epoch[other] == epoch) continue;
+        visited_epoch[other] = epoch;
         if (!registered[node_image[other]]) continue;
         if (p3d[other] >= 0) continue;
         if (count < capacity) {

@@ -577,6 +577,13 @@ class Map:
         completed = 0
         cand_buf = np.empty(4096, np.int32)
         depth_buf = np.empty(4096, np.int32)
+        # Persistent epoch-stamped visited scratch (see the C++ comment: a
+        # fresh byte-map per point would memset GBs per maintenance pass).
+        if getattr(self, "_visited_epoch_buf", None) is None or len(
+            self._visited_epoch_buf
+        ) != g.num_nodes:
+            self._visited_epoch_buf = np.zeros(g.num_nodes, np.int32)
+            self._visited_epoch = 0
         for pid in point_ids:
             pid = int(pid)
             if not self._alive[pid]:
@@ -584,10 +591,15 @@ class Map:
             nodes = self._node_track(pid)
             if not len(nodes):
                 continue
+            self._visited_epoch += 1
+            if self._visited_epoch >= 2**31 - 1:
+                self._visited_epoch_buf[:] = 0
+                self._visited_epoch = 1
             n = self._native.completion_candidates(
                 nodes, len(nodes), g._indptr, g._adj_node, rows,
                 self._node_p3d, self._registered_rows, g.num_nodes,
                 max_transitivity, len(cand_buf), cand_buf, depth_buf,
+                self._visited_epoch_buf, self._visited_epoch,
             )
             if n == 0:
                 continue
