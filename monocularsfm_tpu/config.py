@@ -205,14 +205,13 @@ _REFERENCE_KEY_MAP = {
     "SIFTmatch.max_distance": "matching.max_distance",
     "SIFTmatch.distance_ratio": "matching.distance_ratio",
     "SIFTmatch.cross_check": "matching.cross_check",
-    "Camera.fx": "camera.fx",
-    "Camera.fy": "camera.fy",
-    "Camera.cx": "camera.cx",
-    "Camera.cy": "camera.cy",
-    "Camera.k1": "camera.k1",
-    "Camera.k2": "camera.k2",
-    "Camera.p1": "camera.p1",
-    "Camera.p2": "camera.p2",
+    # The reference nests intrinsics under "Reconstruction.Camera.*"
+    # (config/south-building.yaml:28-37); bare "Camera.*" accepted too.
+    **{
+        f"{prefix}Camera.{k}": f"camera.{k}"
+        for prefix in ("", "Reconstruction.")
+        for k in ("fx", "fy", "cx", "cy", "k1", "k2", "p1", "p2")
+    },
     "Reconstruction.output_path": "output_path",
     "Reconstrction.output_path": "output_path",  # reference config typo
     "Reconstruction.is_visualization": "map_builder.is_visualization",

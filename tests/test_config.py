@@ -77,3 +77,30 @@ def test_nested_yaml(tmp_path):
     cfg = cfg_mod.load_yaml(p)
     assert cfg.bundle.max_iterations == 50
     assert cfg.matching.overlap == 5
+
+
+def test_reference_nested_camera_keys(tmp_path):
+    # The actual reference configs nest intrinsics one level deeper
+    # (config/south-building.yaml:28-37: "Reconstruction.Camera.fx").
+    p = tmp_path / "r.yaml"
+    p.write_text(
+        "Reconstruction.Camera.fx: 2559.68\n"
+        "Reconstruction.Camera.cy: 1152.0\n"
+        "Reconstruction.Camera.k1: -0.02\n"
+    )
+    cfg = cfg_mod.load_yaml(p)
+    assert cfg.camera.fx == 2559.68
+    assert cfg.camera.cy == 1152.0
+    assert cfg.camera.k1 == -0.02
+
+
+def test_shipped_example_configs_load():
+    import pathlib
+
+    cfg_dir = pathlib.Path(cfg_mod.__file__).resolve().parent.parent / "config"
+    seen = 0
+    for path in sorted(cfg_dir.glob("*.yaml")):
+        cfg = cfg_mod.load_yaml(path)
+        assert cfg.camera.fx > 0, path.name
+        seen += 1
+    assert seen >= 4
