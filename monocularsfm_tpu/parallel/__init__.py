@@ -7,6 +7,14 @@ across a jax.sharding.Mesh; jax.distributed + DCN for multi-host.
 
 from monocularsfm_tpu.parallel.mesh import make_mesh
 from monocularsfm_tpu.parallel.distributed_ba import distributed_bundle_adjust
-from monocularsfm_tpu.parallel.sharded_matching import sharded_match_pairs
+from monocularsfm_tpu.parallel.sharded_matching import (
+    ring_all_pairs_matching,
+    sharded_match_pairs,
+)
 
-__all__ = ["make_mesh", "distributed_bundle_adjust", "sharded_match_pairs"]
+__all__ = [
+    "make_mesh",
+    "distributed_bundle_adjust",
+    "sharded_match_pairs",
+    "ring_all_pairs_matching",
+]

@@ -60,6 +60,99 @@ def sharded_match_pairs(
     return out[:n_pairs]
 
 
+def ring_all_pairs_matching(
+    desc_bank: np.ndarray,
+    mask_bank: np.ndarray,
+    mesh: Mesh,
+    ratio: float = 0.8,
+    max_distance: float = 0.7,
+    cross_check: bool = True,
+    col_tile: int = 1024,
+):
+    """All-pairs matching with the descriptor bank SHARDED over the mesh —
+    the ring-attention analogue for SfM (SURVEY.md section 5: "rotate
+    descriptor shards around the ICI ring").
+
+    Each device keeps only I/n_dev images resident; at ring step k it matches
+    its resident queries against the bank shard that arrived via ppermute
+    (k hops around the ring), then forwards that shard to its neighbour.
+    Per-chip HBM stays O(2 * I/n_dev * N * D) regardless of collection size.
+
+    With cross_check=True matches are mutual, so the B->A map is the inverse
+    of the A->B map and only floor(n/2)+1 ring steps are needed (each
+    unordered device pair meets once); the missing direction is filled by
+    index inversion on host.  Without cross-check the full n steps run.
+
+    desc_bank: (I, N, D) float32, I divisible by mesh size.
+    Returns (I, I, N) int32: out[q, b] = match map of image q vs image b
+    (-1 where unmatched; diagonal untouched).
+    """
+    axis = mesh.axis_names[0]
+    n = mesh.devices.size
+    I, N, D = desc_bank.shape
+    assert I % n == 0, "pad the image list to a multiple of the mesh size"
+    i_loc = I // n
+    steps = (n // 2 + 1) if cross_check else n
+    fwd = [(i, (i + 1) % n) for i in range(n)]
+
+    def local(desc, mask):  # (i_loc, N, D), (i_loc, N) per device
+        desc = desc.astype(jnp.bfloat16)  # halves ICI traffic; the matmul
+        # runs in bf16 anyway (ops/matching.py casts internally).
+
+        def step(carry, _):
+            rd, rm = carry
+
+            def one_query(qd, qm):
+                def one_bank(bd, bm):
+                    return match_descriptors_pair(
+                        qd, bd, qm, bm,
+                        ratio=ratio, max_distance=max_distance,
+                        cross_check=cross_check, col_tile=col_tile,
+                    )
+
+                return jax.vmap(one_bank)(rd, rm)
+
+            out = jax.vmap(one_query)(desc, mask)  # (i_loc, i_loc, N)
+            rd = jax.lax.ppermute(rd, axis, fwd)
+            rm = jax.lax.ppermute(rm, axis, fwd)
+            return (rd, rm), out
+
+        _, outs = jax.lax.scan(step, (desc, mask), None, length=steps)
+        return outs  # (steps, i_loc_query, i_loc_bank, N)
+
+    fn = jax.jit(
+        jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(axis), P(axis)),
+            out_specs=P(None, axis),
+        )
+    )
+    out = np.asarray(
+        fn(jnp.asarray(desc_bank), jnp.asarray(mask_bank))
+    )  # (steps, I, i_loc, N): [k, d*i_loc+q, b] = query (d,q) vs shard (d-k)%n
+
+    res = np.full((I, I, N), -1, np.int32)
+    covered = np.zeros((n, n), bool)
+    for k in range(steps):
+        for d in range(n):
+            src = (d - k) % n
+            res[d * i_loc:(d + 1) * i_loc, src * i_loc:(src + 1) * i_loc] = \
+                out[k, d * i_loc:(d + 1) * i_loc]
+            covered[d, src] = True
+    if cross_check:
+        # Mutual matches: derive the uncovered direction by inversion.
+        for dq in range(n):
+            for ds in range(n):
+                if covered[dq, ds] or not covered[ds, dq]:
+                    continue
+                for q in range(dq * i_loc, (dq + 1) * i_loc):
+                    for b in range(ds * i_loc, (ds + 1) * i_loc):
+                        m = res[b, q]
+                        j = np.nonzero(m >= 0)[0]
+                        res[q, b][m[j]] = j
+    return res
+
+
 def ring_bank_matching(
     desc_a: jnp.ndarray,
     bank_b: jnp.ndarray,

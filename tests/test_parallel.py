@@ -82,3 +82,41 @@ class TestShardedMatching:
             )
         )
         np.testing.assert_array_equal(out, ref)
+
+    @pytest.mark.parametrize("cross_check", [True, False])
+    def test_ring_all_pairs_matches_direct(self, rng, cross_check):
+        from monocularsfm_tpu.ops.matching import match_descriptors_pair
+        from monocularsfm_tpu.parallel.sharded_matching import (
+            ring_all_pairs_matching,
+        )
+
+        cap, n_img = 256, 8
+        # Noisy copies of one descriptor set -> plenty of mutual matches.
+        base = rng.normal(size=(cap, 128)).astype(np.float32)
+        bank = np.zeros((n_img, cap, 128), np.float32)
+        mask = np.zeros((n_img, cap), bool)
+        for i in range(n_img):
+            n = 180 + 5 * i
+            v = base[:n] + 0.05 * rng.normal(size=(n, 128)).astype(np.float32)
+            bank[i, :n] = v / np.linalg.norm(v, axis=1, keepdims=True)
+            mask[i, :n] = True
+        mesh = make_mesh(4)
+        res = ring_all_pairs_matching(
+            bank, mask, mesh, cross_check=cross_check, col_tile=cap
+        )
+        assert res.shape == (n_img, n_img, cap)
+        total = 0
+        for q in range(n_img):
+            for b in range(n_img):
+                if q == b:
+                    continue
+                ref = np.asarray(
+                    match_descriptors_pair(
+                        jnp.asarray(bank[q]), jnp.asarray(bank[b]),
+                        jnp.asarray(mask[q]), jnp.asarray(mask[b]),
+                        cross_check=cross_check, col_tile=cap,
+                    )
+                )
+                np.testing.assert_array_equal(res[q, b], ref, err_msg=f"{q},{b}")
+                total += (ref >= 0).sum()
+        assert total > 0  # the fixture must actually produce matches
