@@ -39,14 +39,14 @@ def cmd_match(cfg, log=print):
     from monocularsfm_tpu.features.matching import (
         BruteFeatureMatcher,
         SequentialFeatureMatcher,
+        VocabTreeFeatureMatcher,
     )
 
     t0 = time.perf_counter()
-    cls = (
-        SequentialFeatureMatcher
-        if cfg.matching.match_type == "sequential"
-        else BruteFeatureMatcher
-    )
+    cls = {
+        "sequential": SequentialFeatureMatcher,
+        "vocab": VocabTreeFeatureMatcher,
+    }.get(cfg.matching.match_type, BruteFeatureMatcher)
     n = cls(cfg.matching).run_matching(cfg.database_path, log=log)
     log(f"[match] wrote {n} pairs in {time.perf_counter()-t0:.1f}s")
 

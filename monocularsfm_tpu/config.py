@@ -48,6 +48,10 @@ class MatchingConfig:
     ransac_confidence: float = 0.99
     ransac_iterations: int = 2048    # hypothesis batch on device
     min_num_matches_verified: int = 15
+    # Vocab retrieval (match_type: vocab — the reference declares this
+    # matcher but never implements it; FeatureMatching.h:137-141).
+    vocab_num_words: int = 4096
+    vocab_num_neighbors: int = 20    # retrieved partners per image
     # TPU-native knobs.
     pair_batch: int = 16             # image pairs matched per device dispatch
 
@@ -218,7 +222,10 @@ _REFERENCE_KEY_MAP = {
 }
 
 _NORMALIZATION_ENUM = {0: "l1_root", 1: "l2", "0": "l1_root", "1": "l2"}
-_MATCH_TYPE_ENUM = {0: "sequential", 1: "brute", "0": "sequential", "1": "brute"}
+_MATCH_TYPE_ENUM = {
+    0: "sequential", 1: "brute", 2: "vocab",
+    "0": "sequential", "1": "brute", "2": "vocab",
+}
 
 
 def load_yaml(path: str | pathlib.Path) -> SfMConfig:

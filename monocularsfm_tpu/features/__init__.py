@@ -4,6 +4,12 @@ from monocularsfm_tpu.features.extraction import FeatureExtractor
 from monocularsfm_tpu.features.matching import (
     SequentialFeatureMatcher,
     BruteFeatureMatcher,
+    VocabTreeFeatureMatcher,
 )
 
-__all__ = ["FeatureExtractor", "SequentialFeatureMatcher", "BruteFeatureMatcher"]
+__all__ = [
+    "FeatureExtractor",
+    "SequentialFeatureMatcher",
+    "BruteFeatureMatcher",
+    "VocabTreeFeatureMatcher",
+]

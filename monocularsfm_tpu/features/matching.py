@@ -185,6 +185,54 @@ class SequentialFeatureMatcher(_MatcherBase):
             db.close()
 
 
+class VocabTreeFeatureMatcher(_MatcherBase):
+    """Retrieval-based matching via a visual vocabulary (ops/vocab.py).
+
+    The reference declares this matcher but never implements it
+    (include/Feature/FeatureMatching.h:137-141).  Here: train a K-word
+    vocabulary on the collection's own descriptors, build TF-IDF image
+    signatures, retrieve `num_neighbors` partners per image with one
+    similarity matmul, and feed those pairs through the standard
+    match-and-verify pipeline.  Complexity drops from O(I^2) full matching
+    to O(I * num_neighbors)."""
+
+    def run_matching(self, database_path: str, log=print) -> int:
+        from monocularsfm_tpu.ops.vocab import (
+            quantize, retrieve_top_k, tfidf_signatures, train_visual_vocab,
+        )
+
+        cfg = self.cfg
+        db = Database(database_path)
+        try:
+            image_ids = sorted(db.read_all_images().keys())
+            bank, mask, kps, cap = self._load_bank(db, image_ids)
+            n_desc = int(np.asarray(mask).sum())
+            num_words = min(cfg.vocab_num_words, max(64, n_desc // 2))
+            flat = np.asarray(bank)[np.asarray(mask)]
+            log(f"[match] training {num_words}-word vocab on {len(flat)} descriptors")
+            vocab = jnp.asarray(train_visual_vocab(flat, num_words=num_words))
+            hists = jnp.stack([
+                quantize(bank[r], mask[r], vocab, num_words)
+                for r in range(len(image_ids))
+            ])
+            sig = tfidf_signatures(hists)
+            k = min(cfg.vocab_num_neighbors, len(image_ids) - 1)
+            _, nbrs = retrieve_top_k(sig, k)
+            nbrs = np.asarray(nbrs)
+            pairs = sorted({
+                (min(image_ids[i], image_ids[int(j)]),
+                 max(image_ids[i], image_ids[int(j)]))
+                for i in range(len(image_ids)) for j in nbrs[i]
+            })
+            log(f"[match] retrieval kept {len(pairs)} pairs "
+                f"(exhaustive would be {len(image_ids)*(len(image_ids)-1)//2})")
+            return self._match_and_verify_pairs(
+                db, bank, mask, kps, image_ids, pairs, log
+            )
+        finally:
+            db.close()
+
+
 class BruteFeatureMatcher(_MatcherBase):
     """All pairs i < j, optional preemptive pruning."""
 

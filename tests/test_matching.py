@@ -173,3 +173,91 @@ class TestAgainstOpenCV:
                 cv_idx[m[0].queryIdx] = m[0].trainIdx
         agree = (idx == cv_idx).mean()
         assert agree > 0.97, f"agreement with cv2: {agree}"
+
+
+class TestVocabRetrieval:
+    def test_kmeans_and_retrieval(self, rng):
+        from monocularsfm_tpu.ops.vocab import (
+            quantize, retrieve_top_k, tfidf_signatures, train_visual_vocab,
+        )
+        import jax.numpy as jnp
+
+        # 3 well-separated clusters of unit descriptors.
+        centers = _unit(rng, 3)
+        desc = np.concatenate([
+            c + 0.05 * rng.normal(size=(200, 128)).astype(np.float32)
+            for c in centers
+        ])
+        desc /= np.linalg.norm(desc, axis=1, keepdims=True)
+        vocab = train_visual_vocab(desc, num_words=64, iterations=8)
+        assert vocab.shape == (64, 128)
+        np.testing.assert_allclose(
+            np.linalg.norm(vocab, axis=1), 1.0, atol=1e-5
+        )
+
+        # Images drawing from the same cluster retrieve each other.
+        def image(cluster, n=100):
+            d = centers[cluster] + 0.05 * rng.normal(size=(n, 128)).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            out = np.zeros((128, 128), np.float32)
+            m = np.zeros(128, bool)
+            out[:n] = d[:128]
+            m[:n] = True
+            return out, m
+
+        imgs = [image(c) for c in (0, 0, 1, 1, 2, 2)]
+        hists = jnp.stack([
+            quantize(jnp.asarray(d), jnp.asarray(m), jnp.asarray(vocab), 64)
+            for d, m in imgs
+        ])
+        sig = tfidf_signatures(hists)
+        _, nbrs = retrieve_top_k(sig, 1)
+        nbrs = np.asarray(nbrs)[:, 0]
+        partner = {0: 1, 1: 0, 2: 3, 3: 2, 4: 5, 5: 4}
+        for i, j in partner.items():
+            assert nbrs[i] == j, (i, nbrs[i])
+
+    def test_vocab_matcher_end_to_end(self, tmp_path, rng):
+        """VocabTreeFeatureMatcher finds the same pairs exhaustive matching
+        verifies on a small planted collection."""
+        from monocularsfm_tpu.database import Database
+        from monocularsfm_tpu.config import MatchingConfig
+        from monocularsfm_tpu.features.matching import VocabTreeFeatureMatcher
+
+        # 4 images: (0,1) share a scene, (2,3) share a different one.
+        scene_a = _unit(rng, 300)
+        scene_b = _unit(rng, 300)
+        uv = rng.uniform(10, 500, size=(4, 300, 2)).astype(np.float32)
+        # Shared geometry for verifiable F: use identical uv in both views
+        # (a trivially consistent epipolar configuration).
+        db = Database(tmp_path / "v.db")
+        ids = []
+        for i, base in enumerate([scene_a, scene_a, scene_b, scene_b]):
+            d = base + 0.03 * rng.normal(size=base.shape).astype(np.float32)
+            d /= np.linalg.norm(d, axis=1, keepdims=True)
+            kp = np.concatenate(
+                [uv[(i // 2) * 2], np.full((300, 1), 2.0, np.float32),
+                 np.zeros((300, 1), np.float32)], axis=1
+            )
+            iid = db.write_image(f"im{i}.png")
+            db.write_keypoints(iid, kp)
+            db.write_descriptors(iid, d)
+            ids.append(iid)
+        db.close()
+
+        cfg = MatchingConfig(
+            vocab_num_words=64, vocab_num_neighbors=1,
+            min_num_matches_verified=15, ransac_iterations=256,
+        )
+        m = VocabTreeFeatureMatcher(cfg)
+        m.run_matching(str(tmp_path / "v.db"), log=lambda *a: None)
+
+        db = Database(tmp_path / "v.db")
+        got = {
+            pair for pair, mat in db.read_all_matches().items() if len(mat) > 0
+        }
+        db.close()
+        p = lambda a, b: (min(ids[a], ids[b]), max(ids[a], ids[b]))
+        assert p(0, 1) in got
+        assert p(2, 3) in got
+        assert p(0, 2) not in got and p(1, 3) not in got
