@@ -149,6 +149,9 @@ class MapBuilderConfig:
     # SURVEY.md section 5): write a COLMAP snapshot every N registrations.
     snapshot_every_registrations: int = 0  # 0 = off
     snapshot_dir: str = ""
+    # jax.profiler trace of the whole build (open with TensorBoard/xprof);
+    # complements the phase wall-clock table (SURVEY.md section 5 plan).
+    profile_dir: str = ""  # empty = off
 
 
 @dataclasses.dataclass

@@ -274,6 +274,19 @@ class MapBuilder:
 
     # -- main loop ------------------------------------------------------------
     def do_build(self) -> BuildSummary:
+        if self.cfg.map_builder.profile_dir:
+            import contextlib
+            import jax
+
+            ctx = jax.profiler.trace(self.cfg.map_builder.profile_dir)
+        else:
+            import contextlib
+
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return self._do_build()
+
+    def _do_build(self) -> BuildSummary:
         with self.timers["total"]:
             if len(self.map.registered_ids) >= 2:
                 self._log("[build] map already initialized (resume)")
