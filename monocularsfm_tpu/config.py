@@ -29,6 +29,11 @@ class ExtractionConfig:
     capacity: int = 8192
     backend: str = "jax"  # jax (pallas/XLA SIFT) | opencv (host fallback)
     batch_size: int = 4    # images extracted per device dispatch
+    # HBM guard: cap the dispatch batch so octave-0 working set (~23 fp32
+    # planes per image after the 2x upsample) stays within budget; large
+    # images (max_image_size 3200 -> 6400x4800 upsampled) process one at a
+    # time, small ones keep the full batch.
+    batch_pixel_budget: int = 48_000_000
 
 
 @dataclasses.dataclass

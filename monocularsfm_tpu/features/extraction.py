@@ -147,6 +147,14 @@ class FeatureExtractor:
 
             batch, metas = [], []
 
+            def eff_batch_size(h, w):
+                """HBM guard: the octave-0 working set is ~23 fp32 planes per
+                image at 4x the input pixel count (2x upsample), so cap the
+                batch to cfg.batch_pixel_budget upsampled pixels."""
+                px = 4 * h * w
+                return max(1, min(self.cfg.batch_size,
+                                  self.cfg.batch_pixel_budget // px))
+
             def flush():
                 nonlocal count
                 if not batch:
@@ -155,7 +163,8 @@ class FeatureExtractor:
                 # Pad partial batches to the fixed batch size with zero
                 # images (dropped below) so each image shape compiles once.
                 n_real = len(batch)
-                while len(batch) < self.cfg.batch_size:
+                h, w = batch[0].shape[:2]
+                while len(batch) < eff_batch_size(h, w):
                     batch.append(np.zeros_like(batch[0]))
                 kps_list, desc_list = sift.extract_batch(np.stack(batch))
                 kps_list, desc_list = kps_list[:n_real], desc_list[:n_real]
@@ -189,7 +198,7 @@ class FeatureExtractor:
                     flush()
                 batch.append(gray_s)
                 metas.append((image_id, name, bgr, scale, w, h))
-                if len(batch) >= self.cfg.batch_size:
+                if len(batch) >= eff_batch_size(*gray_s.shape[:2]):
                     flush()
             flush()
         finally:

@@ -115,19 +115,28 @@ def _build_octave(base: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack(imgs)
 
 
-def _bilinear(img: jnp.ndarray, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample img (H, W) at float coords. Out-of-range clamped."""
-    H, W = img.shape
+def _bilinear_vol(vol_flat: jnp.ndarray, shape, si: jnp.ndarray,
+                  x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample scale `si` of a flattened (S, H, W) volume.
+
+    Folding the scale index into one flat gather keeps the per-keypoint
+    cost at 4 scalar loads per sample; the naive `vol[si]` inside a vmap
+    instead lowers to a per-keypoint dynamic-slice of the whole image —
+    XLA:TPU materialises a (num_kpts, H, W) tensor, which is O(100 GB) at
+    real image sizes.  Out-of-range coords are clamped.
+    """
+    S, H, W = shape
     x = jnp.clip(x, 0.0, W - 1.001)
     y = jnp.clip(y, 0.0, H - 1.001)
     x0 = jnp.floor(x).astype(jnp.int32)
     y0 = jnp.floor(y).astype(jnp.int32)
     fx = x - x0
     fy = y - y0
-    v00 = img[y0, x0]
-    v01 = img[y0, x0 + 1]
-    v10 = img[y0 + 1, x0]
-    v11 = img[y0 + 1, x0 + 1]
+    base = si * (H * W) + y0 * W + x0
+    v00 = vol_flat[base]
+    v01 = vol_flat[base + 1]
+    v10 = vol_flat[base + W]
+    v11 = vol_flat[base + W + 1]
     return (
         v00 * (1 - fx) * (1 - fy)
         + v01 * fx * (1 - fy)
@@ -268,11 +277,14 @@ def _orient_and_describe(gauss: jnp.ndarray, det: dict):
     two orientations (primary, secondary peak) per keypoint.
     """
     S, H, W = gauss.shape
-    # Gradients of every scale once.
+    # Gradients of every scale once; flattened for scale-folded gathers.
     gx = jnp.zeros_like(gauss)
     gx = gx.at[:, :, 1:-1].set(0.5 * (gauss[:, :, 2:] - gauss[:, :, :-2]))
     gy = jnp.zeros_like(gauss)
     gy = gy.at[:, 1:-1, :].set(0.5 * (gauss[:, 2:, :] - gauss[:, :-2, :]))
+    gx_flat = gx.reshape(-1)
+    gy_flat = gy.reshape(-1)
+    vol_shape = (S, H, W)
 
     x = det["x"]
     y = det["y"]
@@ -286,8 +298,8 @@ def _orient_and_describe(gauss: jnp.ndarray, det: dict):
         radius = 4.5 * ORI_SIG_FCTR * sk
         sx = xk + ori_off[:, 0] * radius
         sy = yk + ori_off[:, 1] * radius
-        gxs = _bilinear(gx[si], sx, sy)
-        gys = _bilinear(gy[si], sx, sy)
+        gxs = _bilinear_vol(gx_flat, vol_shape, si, sx, sy)
+        gys = _bilinear_vol(gy_flat, vol_shape, si, sx, sy)
         mag = jnp.sqrt(gxs * gxs + gys * gys)
         ang = jnp.arctan2(gys, gxs)  # (-pi, pi]
         binf = (ang + jnp.pi) / (2 * jnp.pi) * ORI_BINS
@@ -343,8 +355,8 @@ def _orient_and_describe(gauss: jnp.ndarray, det: dict):
         oy = desc_off[:, 1] * cell
         sx = xk + ca * ox - sa * oy
         sy = yk + sa * ox + ca * oy
-        gxs = _bilinear(gx[si], sx, sy)
-        gys = _bilinear(gy[si], sx, sy)
+        gxs = _bilinear_vol(gx_flat, vol_shape, si, sx, sy)
+        gys = _bilinear_vol(gy_flat, vol_shape, si, sx, sy)
         mag = jnp.sqrt(gxs * gxs + gys * gys) * gauss_w
         ang = jnp.arctan2(gys, gxs) - angle
         binf = (ang / (2 * jnp.pi)) * DESC_BINS

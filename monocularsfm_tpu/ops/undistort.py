@@ -48,8 +48,12 @@ def undistort_normalized(xd: jnp.ndarray, dist: jnp.ndarray, iterations: int = 8
     return jax.lax.fori_loop(0, iterations, body, xd)
 
 
+@functools.partial(jax.jit, static_argnames=("iterations",))
 def undistort_pixels(uv, K, dist, iterations: int = 8):
-    """Pixel -> undistorted pixel (same K for reprojection afterwards)."""
+    """Pixel -> undistorted pixel (same K for reprojection afterwards).
+
+    Jitted: eager per-op dispatch costs seconds per call over a remote-
+    compile TPU backend (each tiny op compiles separately)."""
     uv = jnp.asarray(uv, jnp.float32)
     K = jnp.asarray(K, jnp.float32)
     dist = jnp.asarray(dist, jnp.float32)

@@ -37,6 +37,41 @@ from monocularsfm_tpu.estimators.homography import decompose_homography
 from monocularsfm_tpu.geometry.triangulation import triangulate_two_view
 
 
+@jax.jit
+def _homography_motion(K, H, x1j, x2j, inl):
+    """Whole H-path device computation in one jit: Euclidean homography,
+    Faugeras decomposition, cheirality triangulation of all 4 candidates.
+
+    One compiled dispatch instead of dozens of eager ops — on a remote-
+    compile TPU backend the eager path costs ~40 s per process (each tiny
+    op compiles separately and misses the persistent jit cache).
+    Returns (xn1, xn2, Rs, ts, Xs, fronts, counts)."""
+    Kinv = jnp.linalg.inv(K)
+    H_euc = Kinv @ H.astype(jnp.float32) @ K
+    Rs, ts, _ = decompose_homography(H_euc)
+    xn1 = pixels_to_normalized(K, x1j)
+    xn2 = pixels_to_normalized(K, x2j)
+    eye = jnp.eye(3, dtype=jnp.float32)
+    zero = jnp.zeros((3,), jnp.float32)
+
+    def tri(R, t):
+        X = triangulate_two_view(eye, zero, R, t, xn1, xn2)
+        z1 = X[..., 2]
+        z2 = (jnp.einsum("ij,nj->ni", R, X) + t)[..., 2]
+        front = (z1 > 0) & (z2 > 0) & inl
+        return X, front
+
+    Xs, fronts = jax.vmap(tri)(Rs, ts)
+    counts = jnp.sum(fronts, axis=1)
+    return xn1, xn2, Rs, ts, Xs, fronts, counts
+
+
+@jax.jit
+def _normalize_pair(K, x1j, x2j):
+    """pixels_to_normalized for both views in one dispatch (F path)."""
+    return pixels_to_normalized(K, x1j), pixels_to_normalized(K, x2j)
+
+
 @dataclasses.dataclass
 class InitializerStatistics:
     is_succeed: bool = False
@@ -110,8 +145,7 @@ class Initializer:
         cfg = self.cfg
         stats.method = "fundamental"
         K = jnp.asarray(self.K.astype(np.float32))
-        xn1 = pixels_to_normalized(K, x1j)
-        xn2 = pixels_to_normalized(K, x2j)
+        xn1, xn2 = _normalize_pair(K, x1j, x2j)
         focal = float(self.K[0, 0])
         # Re-estimate E on the F-inliers (deliberately not E = K^T F K — the
         # reference documents the same choice, Initializer.cpp:306-309).
@@ -137,25 +171,10 @@ class Initializer:
             stats.fail_reason = "too few homography inliers"
             return stats, None, None, None, None
         K = jnp.asarray(self.K.astype(np.float32))
-        Kinv = jnp.linalg.inv(K)
-        H_euc = Kinv @ h_out["H"].astype(jnp.float32) @ K
-        Rs, ts, _ = decompose_homography(H_euc)
-        xn1 = pixels_to_normalized(K, x1j)
-        xn2 = pixels_to_normalized(K, x2j)
-        inl = h_out["inliers"]
-        eye = jnp.eye(3, dtype=jnp.float32)
-        zero = jnp.zeros((3,), jnp.float32)
-
-        def tri(R, t):
-            X = triangulate_two_view(eye, zero, R, t, xn1, xn2)
-            z1 = X[..., 2]
-            z2 = (jnp.einsum("ij,nj->ni", R, X) + t)[..., 2]
-            front = (z1 > 0) & (z2 > 0) & inl
-            return X, front
-
-        Xs, fronts = jax.vmap(tri)(Rs, ts)
-        counts = np.asarray(jnp.sum(fronts, axis=1))
-        best = int(np.argmax(counts))
+        xn1, xn2, Rs, ts, Xs, fronts, counts = _homography_motion(
+            K, h_out["H"], x1j, x2j, h_out["inliers"]
+        )
+        best = int(np.argmax(np.asarray(counts)))
         return self._finish(
             stats, Rs[best], ts[best], Xs[best], fronts[best], xn1, xn2
         )

@@ -110,6 +110,12 @@ class MapBuilder:
         partners by pairwise match count (FindFirst/SecondInitialImage,
         MapBuilder.cpp:283-377)."""
         pair_count = self.scene_graph.edges()
+        # Adjacency built once — rescanning the edge dict per candidate image
+        # is O(images x pairs), noticeable at NEU scale (~880k pairs).
+        partners_of: dict[int, list] = {}
+        for (a, b), cnt in pair_count.items():
+            partners_of.setdefault(a, []).append((cnt, b))
+            partners_of.setdefault(b, []).append((cnt, a))
         first_order = sorted(
             self.scene_graph.image_ids,
             key=lambda i: -self.scene_graph.num_correspondences(i)
@@ -117,15 +123,7 @@ class MapBuilder:
         )
         tried = 0
         for first in first_order:
-            partners = sorted(
-                (
-                    (cnt, j)
-                    for (a, b), cnt in pair_count.items()
-                    if a == first or b == first
-                    for j in [b if a == first else a]
-                ),
-                reverse=True,
-            )
+            partners = sorted(partners_of.get(first, ()), reverse=True)
             for cnt, second in partners:
                 if tried >= max_trials:
                     return
