@@ -6,10 +6,13 @@ kernel goes one level lower: the (Tr, Tc) similarity tile lives only in VMEM
 one pass, and nothing O(N^2) ever touches HBM.
 
 Layout is chosen for Mosaic: every grid step writes its tile's row/column
-top-2 partials to *statically blocked* outputs
+top-2 partials to *statically blocked* outputs, flattened so the block
+alignment rules hold (Mosaic requires the last two block dims to be
+(8k, 128k) or equal to the array dims — a (1, T) block over a (G, N)
+array violates the sublane rule, so we store partials as (1, G*N)):
 
-    row partials: (num_col_tiles, N_A)  — block (1, Tr) at (c, r)
-    col partials: (num_row_tiles, N_B)  — block (1, Tc) at (r, c)
+    row partials: (1, num_col_tiles * N_A)  — block (1, Tr) at (0, c*num_r + r)
+    col partials: (1, num_row_tiles * N_B)  — block (1, Tc) at (0, r*num_c + c)
 
 so the kernel needs no cross-tile scratch, no dynamic VMEM slices, and no
 grid-order assumptions (dynamic 1-D scratch accumulation trips Mosaic's
@@ -47,26 +50,26 @@ def _match_tile_kernel(
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Tr, Tc)
-    sims = jnp.where(mb_ref[:].reshape(1, Tc) != 0, sims, NEG)
-    sims = jnp.where(ma_ref[:].reshape(Tr, 1) != 0, sims, NEG)
+    sims = jnp.where(mb_ref[0, :].reshape(1, Tc) != 0, sims, NEG)
+    sims = jnp.where(ma_ref[0, :].reshape(Tr, 1) != 0, sims, NEG)
 
     # Row-direction top-2 within this tile (global column indices).
     t1 = jnp.max(sims, axis=1)
     arg = jnp.argmax(sims, axis=1).astype(jnp.int32)
     cols = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 1)
     t2 = jnp.max(jnp.where(cols == arg[:, None], NEG, sims), axis=1)
-    rt1_ref[0, 0, :] = t1
-    ri1_ref[0, 0, :] = arg + c * Tc
-    rt2_ref[0, 0, :] = t2
+    rt1_ref[0, :] = t1
+    ri1_ref[0, :] = arg + c * Tc
+    rt2_ref[0, :] = t2
 
     # Column-direction top-2 within this tile (global row indices).
     ct1 = jnp.max(sims, axis=0)
     carg = jnp.argmax(sims, axis=0).astype(jnp.int32)
     rows = jax.lax.broadcasted_iota(jnp.int32, sims.shape, 0)
     ct2 = jnp.max(jnp.where(rows == carg[None, :], NEG, sims), axis=0)
-    ct1_ref[0, 0, :] = ct1
-    ci1_ref[0, 0, :] = carg + r * Tr
-    ct2_ref[0, 0, :] = ct2
+    ct1_ref[0, :] = ct1
+    ci1_ref[0, :] = carg + r * Tr
+    ct2_ref[0, :] = ct2
 
 
 def _merge_partials(t1p, i1p, t2p):
@@ -98,23 +101,25 @@ def _match_stats_pallas(
 
     a = desc_a.astype(jnp.bfloat16)
     b = desc_b.astype(jnp.bfloat16)
-    ma = mask_a.astype(jnp.int32)
-    mb = mask_b.astype(jnp.int32)
+    # Masks as (1, N) int32: 1-D VMEM operands trip Mosaic/XLA tiled-layout
+    # mismatches, 2-D (1, tile) blocks are always legal.
+    ma = mask_a.astype(jnp.int32).reshape(1, n_a)
+    mb = mask_b.astype(jnp.int32).reshape(1, n_b)
 
     grid = (num_c, num_r)
     out_shapes = (
-        jax.ShapeDtypeStruct((num_c, n_a), jnp.float32),  # row top1 partials
-        jax.ShapeDtypeStruct((num_c, n_a), jnp.int32),    # row top1 idx
-        jax.ShapeDtypeStruct((num_c, n_a), jnp.float32),  # row top2
-        jax.ShapeDtypeStruct((num_r, n_b), jnp.float32),  # col top1 partials
-        jax.ShapeDtypeStruct((num_r, n_b), jnp.int32),    # col argmax
-        jax.ShapeDtypeStruct((num_r, n_b), jnp.float32),  # col top2
+        jax.ShapeDtypeStruct((1, num_c * n_a), jnp.float32),  # row top1 partials
+        jax.ShapeDtypeStruct((1, num_c * n_a), jnp.int32),    # row top1 idx
+        jax.ShapeDtypeStruct((1, num_c * n_a), jnp.float32),  # row top2
+        jax.ShapeDtypeStruct((1, num_r * n_b), jnp.float32),  # col top1 partials
+        jax.ShapeDtypeStruct((1, num_r * n_b), jnp.int32),    # col argmax
+        jax.ShapeDtypeStruct((1, num_r * n_b), jnp.float32),  # col top2
     )
     row_out_spec = pl.BlockSpec(
-        (1, row_tile), lambda c, r: (c, r), memory_space=pltpu.VMEM
+        (1, row_tile), lambda c, r: (0, c * num_r + r), memory_space=pltpu.VMEM
     )
     col_out_spec = pl.BlockSpec(
-        (1, col_tile), lambda c, r: (r, c), memory_space=pltpu.VMEM
+        (1, col_tile), lambda c, r: (0, r * num_c + c), memory_space=pltpu.VMEM
     )
 
     rt1, ri1, rt2, ct1, ci1, ct2 = pl.pallas_call(
@@ -123,8 +128,8 @@ def _match_stats_pallas(
         in_specs=[
             pl.BlockSpec((row_tile, d), lambda c, r: (r, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((col_tile, d), lambda c, r: (c, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_tile,), lambda c, r: (r,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((col_tile,), lambda c, r: (c,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, row_tile), lambda c, r: (0, r), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, col_tile), lambda c, r: (0, c), memory_space=pltpu.VMEM),
         ],
         out_specs=(
             row_out_spec, row_out_spec, row_out_spec,
@@ -134,8 +139,12 @@ def _match_stats_pallas(
         interpret=interpret,
     )(a, b, ma, mb)
 
-    t1, i1, t2 = _merge_partials(rt1, ri1, rt2)
-    col1, colarg, col2 = _merge_partials(ct1, ci1, ct2)
+    t1, i1, t2 = _merge_partials(
+        rt1.reshape(num_c, n_a), ri1.reshape(num_c, n_a), rt2.reshape(num_c, n_a)
+    )
+    col1, colarg, col2 = _merge_partials(
+        ct1.reshape(num_r, n_b), ci1.reshape(num_r, n_b), ct2.reshape(num_r, n_b)
+    )
     return t1, i1, t2, col1, colarg, col2
 
 
