@@ -160,8 +160,9 @@ class FeatureExtractor:
                 if not batch:
                     return
                 sift = self._get_sift()
-                # Pad partial batches to the fixed batch size with zero
-                # images (dropped below) so each image shape compiles once.
+                # Pad partial batches with zero images (dropped below) to
+                # eff_batch_size(h, w) — the compiled batch dimension varies
+                # per image shape — so each (eff_batch, H, W) compiles once.
                 n_real = len(batch)
                 h, w = batch[0].shape[:2]
                 while len(batch) < eff_batch_size(h, w):

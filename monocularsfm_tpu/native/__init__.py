@@ -60,7 +60,7 @@ def get_lib():
     ]
     lib.get_2d3d.restype = i64
     lib.triangulation_tracks.argtypes = [
-        i64, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64, i64, i64,
+        i64, i64, p_i64, p_i32, p_i32, p_i64, p_u8, p_u8, i64, i64, i64,
         p_i32, p_i64, p_i32,
     ]
     lib.triangulation_tracks.restype = i64

@@ -79,7 +79,9 @@ int64_t get_2d3d(int64_t node_base, int64_t num_kpts,
 }
 
 // Triangulation work lists for one newly registered image.
-// For each keypoint k without a 3D point, collect correspondents in
+// For each keypoint k without a 3D point — skipping features the scene
+// graph proves are two-view observations (reference Map.cpp:450-452 via
+// SceneGraph::IsTwoViewObservation) — collect correspondents in
 // registered images that also lack a 3D point (track capped at max_track,
 // including the seed).  Output is flattened:
 //   out_offsets[i] .. out_offsets[i+1] delimit track i's nodes in out_nodes;
@@ -89,6 +91,7 @@ int64_t triangulation_tracks(int64_t node_base, int64_t num_kpts,
                              const int64_t* indptr, const int32_t* adj_node,
                              const int32_t* node_image, const int64_t* p3d,
                              const uint8_t* registered,
+                             const uint8_t* two_view_obs,
                              int64_t max_track, int64_t max_tracks,
                              int64_t nodes_capacity,
                              int32_t* out_seed_kpt, int64_t* out_offsets,
@@ -99,6 +102,7 @@ int64_t triangulation_tracks(int64_t node_base, int64_t num_kpts,
   for (int64_t k = 0; k < num_kpts && num_tracks < max_tracks; ++k) {
     const int64_t node = node_base + k;
     if (p3d[node] >= 0) continue;
+    if (two_view_obs[node]) continue;
     const int64_t s = indptr[node], e = indptr[node + 1];
     if (s == e) continue;
     if (cursor + max_track > nodes_capacity) break;

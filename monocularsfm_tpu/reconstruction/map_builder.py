@@ -114,6 +114,7 @@ class MapBuilder:
         # is O(images x pairs), noticeable at NEU scale (~880k pairs).
         partners_of: dict[int, list] = {}
         for (a, b), cnt in pair_count.items():
+            assert a != b, f"self-pair ({a},{a}) in scene graph edges"
             partners_of.setdefault(a, []).append((cnt, b))
             partners_of.setdefault(b, []).append((cnt, a))
         first_order = sorted(

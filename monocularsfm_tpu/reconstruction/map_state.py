@@ -367,7 +367,7 @@ class Map:
             nodes = np.empty(nodes_cap, np.int32)
             n = self._native.triangulation_tracks(
                 base, nk, g._indptr, g._adj_node, g._node_image_row,
-                self._node_p3d, self._registered_rows,
+                self._node_p3d, self._registered_rows, g._two_view_obs,
                 max_track, nk, nodes_cap, seed, offsets, nodes,
             )
             out = []
@@ -381,10 +381,14 @@ class Map:
                 ]
                 out.append((int(seed[i]), track))
             return out
-        ptr, adj_img, adj_kpt = self.scene_graph.correspondences_of_image(image_id)
+        g = self.scene_graph
+        ptr, adj_img, adj_kpt = g.correspondences_of_image(image_id)
+        base = g._node_offset[image_id]
         out = []
         for k in range(len(ptr) - 1):
             if im.point3D[k] >= 0:
+                continue
+            if g._two_view_obs[base + k]:
                 continue
             s, e = ptr[k], ptr[k + 1]
             if s == e:

@@ -109,6 +109,18 @@ class SceneGraph:
         )
         self._offset_of_row = offset_of_row
         self.num_nodes = num_nodes
+
+        # Per-node "provably two-view observation" flag (SceneGraph.cpp
+        # IsTwoViewObservation, :285-298): degree 1 AND the single
+        # correspondent is degree 1 too.  Vectorised once here so the
+        # triangulation feed (Map.cpp:450-452) can skip these without a
+        # per-node query.  uint8 so the native path can consume it directly.
+        two_obs = np.zeros(num_nodes, np.uint8)
+        ones = np.flatnonzero(self._two_view)
+        if len(ones):
+            nbr = self._adj_node[indptr[ones]]
+            two_obs[ones] = self._two_view[nbr]
+        self._two_view_obs = two_obs
         return self
 
     # -- queries -----------------------------------------------------------
@@ -149,12 +161,7 @@ class SceneGraph:
 
         (Reference SceneGraph.cpp:285-298: such features can never grow a
         longer track, so triangulation skips them.)"""
-        f = self._flat(image_id, kpt)
-        if not self._two_view[f]:
-            return False
-        imgs, kpts = self.find_correspondences(image_id, kpt)
-        g = self._flat(int(imgs[0]), int(kpts[0]))
-        return bool(self._two_view[g])
+        return bool(self._two_view_obs[self._flat(image_id, kpt)])
 
     def num_correspondences(self, image_id: int) -> int:
         o = self._node_offset[image_id]

@@ -33,6 +33,28 @@ class TestSceneGraph:
         assert g.is_two_view_observation(0, 1)      # only (0,1)-(1,1)
         assert not g.is_two_view_observation(1, 0)  # part of a 3-chain
 
+    def test_two_view_observation_skipped_in_triangulation_feed(self):
+        # Reference Map.cpp:450-452: a feature matched in exactly one pair
+        # (both endpoints degree 1) must never enter the triangulation
+        # work list — in the python fallback AND the native path.
+        g = self._toy()
+        K = np.array([[100.0, 0, 50], [0, 100.0, 50], [0, 0, 1]])
+        kps = np.array([[10, 10], [20, 20], [30, 30], [40, 40]], np.float32)
+        from monocularsfm_tpu import native as native_mod
+
+        for use_native in ([False, True] if native_mod.available() else [False]):
+            m = Map(K)
+            for i in range(3):
+                m.load_image(i, f"im{i}", kps)
+            m.attach_scene_graph(g, use_native=use_native)
+            for i in range(3):
+                m.add_image_pose(i, np.eye(3), np.array([float(i), 0.0, 0.0]))
+            for image_id in range(3):
+                for seed_kpt, track in m.get_triangulation_tracks(image_id):
+                    assert (image_id, seed_kpt) != (0, 1)
+                    assert (image_id, seed_kpt) != (1, 1)
+                    assert (0, 1) not in track and (1, 1) not in track
+
     def test_min_num_matches_prunes(self):
         matches = {
             (0, 1): np.array([[0, 0]], np.int32),
