@@ -130,10 +130,12 @@ class BundleConfig:
     initial_trust_radius: float = 1e4
     min_lm_diagonal: float = 1e-6
     max_lm_diagonal: float = 1e32
-    # TPU-native knobs.
-    obs_pad_multiple: int = 1024      # pad residual count to limit recompiles
-    cam_pad_multiple: int = 8
-    use_x64: bool = False             # emulated f64 solve for the reduced system
+    # Solver policy (CeresBundleOptimizer.cpp:262-276: DENSE_SCHUR <= 50
+    # images, sparse/iterative beyond): bundles over `dense_max_images`
+    # switch to matrix-free PCG with long tracks split across rows.
+    dense_max_images: int = 50
+    pcg_iterations: int = 100
+    track_width: int = 16             # observation-row width for split bundles
 
 
 @dataclasses.dataclass

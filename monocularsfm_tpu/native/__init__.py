@@ -77,6 +77,15 @@ def get_lib():
         p_i32, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64,
     ]
     lib.find_merge_partner.restype = i64
+    lib.find_merge_partners_batch.argtypes = [
+        p_i32, p_i64, i64, p_i64, p_i64, p_i32, p_i32, p_i64, p_u8, p_i64,
+    ]
+    lib.find_merge_partners_batch.restype = None
+    lib.completion_candidates_batch.argtypes = [
+        p_i32, p_i64, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64, i64,
+        p_i32, p_i64, p_i32, ctypes.c_int32,
+    ]
+    lib.completion_candidates_batch.restype = i64
     _lib = lib
     return _lib
 

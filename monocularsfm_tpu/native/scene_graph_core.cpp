@@ -187,6 +187,68 @@ int64_t find_merge_partner(const int32_t* track_nodes, int64_t track_len,
   return -1;
 }
 
+// Batched merge-partner search: one call over the whole candidate point set
+// (the per-point ctypes round-trips dominated maintenance passes at scale).
+// Tracks are CSR: point i's nodes are track_nodes[track_offsets[i] ..
+// track_offsets[i+1]).  Writes out_partner[i] = first 3D point id != own pid
+// assigned to a registered correspondent, or -1.  Partner discovery runs on
+// a snapshot of p3d; callers re-validate liveness before merging.
+void find_merge_partners_batch(const int32_t* track_nodes,
+                               const int64_t* track_offsets,
+                               int64_t num_points, const int64_t* self_pids,
+                               const int64_t* indptr, const int32_t* adj_node,
+                               const int32_t* node_image, const int64_t* p3d,
+                               const uint8_t* registered,
+                               int64_t* out_partner) {
+  for (int64_t i = 0; i < num_points; ++i) {
+    out_partner[i] = find_merge_partner(
+        track_nodes + track_offsets[i], track_offsets[i + 1] - track_offsets[i],
+        indptr, adj_node, node_image, p3d, registered, self_pids[i]);
+  }
+}
+
+// Batched completion-candidate BFS: every point in one call.  Output is CSR
+// (out_offsets[num_points+1] into out_nodes); the epoch scratch is bumped
+// per point starting at epoch_start (caller guarantees epoch_start +
+// num_points stays below INT32_MAX).  Returns the TOTAL candidate count —
+// if it exceeds `capacity` the output was truncated and the caller should
+// retry with a larger buffer (out_offsets is still fully written, clamped).
+int64_t completion_candidates_batch(
+    const int32_t* track_nodes, const int64_t* track_offsets,
+    int64_t num_points, const int64_t* indptr, const int32_t* adj_node,
+    const int32_t* node_image, const int64_t* p3d, const uint8_t* registered,
+    int64_t max_depth, int64_t capacity, int32_t* out_nodes,
+    int64_t* out_offsets, int32_t* visited_epoch, int32_t epoch_start) {
+  int64_t total = 0;
+  std::vector<int32_t> frontier, next;
+  out_offsets[0] = 0;
+  for (int64_t i = 0; i < num_points; ++i) {
+    const int32_t epoch = epoch_start + (int32_t)i;
+    const int64_t s0 = track_offsets[i], e0 = track_offsets[i + 1];
+    frontier.assign(track_nodes + s0, track_nodes + e0);
+    for (int64_t k = s0; k < e0; ++k) visited_epoch[track_nodes[k]] = epoch;
+    for (int64_t depth = 1; depth <= max_depth && !frontier.empty(); ++depth) {
+      next.clear();
+      for (int32_t node : frontier) {
+        const int64_t s = indptr[node], e = indptr[node + 1];
+        for (int64_t j = s; j < e; ++j) {
+          const int32_t other = adj_node[j];
+          if (visited_epoch[other] == epoch) continue;
+          visited_epoch[other] = epoch;
+          if (!registered[node_image[other]]) continue;
+          if (p3d[other] >= 0) continue;
+          if (total < capacity) out_nodes[total] = other;
+          ++total;
+          next.push_back(other);
+        }
+      }
+      frontier.swap(next);
+    }
+    out_offsets[i + 1] = total < capacity ? total : capacity;
+  }
+  return total;
+}
+
 // Per-image correspondence statistics against the registered set
 // (scheduler support): number of adjacency entries whose other endpoint is
 // registered, for ranking candidate images.

@@ -17,14 +17,31 @@ TPU-native design decisions (not a Ceres translation):
   (`[P, T]` layout).  Point blocks (V, g_p) then reduce along T with plain
   sums; camera blocks (U, g_c) use segment_sum over the flattened cam index.
   No dynamic shapes anywhere; padding carries zero weight.
+* Tracks longer than T are never truncated: `point_rows` maps observation
+  rows to point indices, so one landmark may span several rows.  Point
+  blocks then reduce with segment_sum over `point_rows` and per-row math
+  gathers Vinv/g_p/dp through the map.  The dense Schur path requires the
+  identity mapping (all observations of a point in one row) because its
+  one-hot chunk einsum forms cross-observation products row-locally; the
+  builder guarantees this by sizing T to the longest track when it selects
+  the dense solver (small bundles only, Ceres DENSE_SCHUR <= 50 images).
 * The reduced camera system S = U~ - sum_p Y_p W_p^T is built *densely* by a
   chunked one-hot einsum over points — an MXU contraction, not a scatter —
   and solved with a Jacobi-equilibrated Cholesky.  For camera counts beyond
-  the dense regime, `solve_mode="pcg"` applies S matrix-free (two gathers +
-  two segment_sums per product) with the block-diagonal U~ preconditioner —
-  the ITERATIVE_SCHUR analogue, and the piece that shards over a mesh by
-  splitting points (psum reduces the camera-side products; see
-  parallel/distributed_ba.py).
+  the dense regime, `solve_mode="pcg"` applies S matrix-free with the
+  block-diagonal U~ preconditioner — the ITERATIVE_SCHUR analogue, and the
+  piece that shards over a mesh by splitting points (psum reduces the
+  camera-side products; see parallel/distributed_ba.py).
+* The PCG path is *flash-style*: per-observation Jacobian blocks are never
+  materialised in HBM.  TPU tiling pads the minor two dims of every f32
+  array to (8, 128), so an O-sized (obs, 6, 3) tensor inflates ~57x (a
+  200k-point / 8M-observation bundle would need 34 GB for one buffer).
+  Instead every pass (system build, each CG matvec, back-substitution,
+  predicted reduction) is a lax.scan over observation-row chunks that
+  rebuilds the closed-form Jacobians from (R, t, X, K) in registers and
+  reduces immediately into compact (C, 36) / (Pn, 9) accumulators laid out
+  with large minor dims.  Rebuilding costs ~100 VPU flops/obs — cheaper
+  than re-reading a 72-byte cached W block from HBM.
 * The trust-region loop is a lax.while_loop — classic LM radius control
   (accept if rho > 0, grow/shrink radius as Ceres does), fixed shapes, no
   host round-trips inside the solve.
@@ -48,7 +65,8 @@ _HIGHEST = jax.lax.Precision.HIGHEST
 class BundleProblem:
     """Fixed-shape BA problem (the reference's BundleData, SoA edition).
 
-    C = camera capacity, P = point capacity, T = track width.
+    C = camera capacity, P = point capacity, T = track width,
+    Pr = observation-row capacity (= P unless long tracks are split).
     """
 
     K: jnp.ndarray            # (4,) fx, fy, cx, cy
@@ -58,14 +76,18 @@ class BundleProblem:
     cam_valid: jnp.ndarray    # (C,) bool
     cam_const: jnp.ndarray    # (C,) bool — gauge-pinned poses
     point_valid: jnp.ndarray  # (P,) bool
-    obs_cam: jnp.ndarray      # (P, T) int32 camera index (0 where invalid)
-    obs_uv: jnp.ndarray       # (P, T, 2) pixel observations
-    obs_valid: jnp.ndarray    # (P, T) bool
+    obs_cam: jnp.ndarray      # (Pr, T) int32 camera index (0 where invalid)
+    obs_uv: jnp.ndarray       # (Pr, T, 2) pixel observations
+    obs_valid: jnp.ndarray    # (Pr, T) bool
+    # Row -> point index map for tracks longer than T (split across rows).
+    # None = identity (every point owns exactly one row) — required by the
+    # dense Schur path; the PCG path accepts any mapping.
+    point_rows: jnp.ndarray | None = None  # (Pr,) int32 or None
 
 
 def make_bundle_problem(
     K4, R, t, X, obs_cam, obs_uv, obs_valid, cam_const,
-    cam_valid=None, point_valid=None,
+    cam_valid=None, point_valid=None, point_rows=None,
 ) -> BundleProblem:
     """Assemble a BundleProblem from host arrays (no padding logic here)."""
     P = X.shape[0]
@@ -73,6 +95,7 @@ def make_bundle_problem(
     if cam_valid is None:
         cam_valid = np.ones(C, bool)
     if point_valid is None:
+        assert point_rows is None, "point_valid required with split rows"
         point_valid = np.asarray(obs_valid).any(axis=1)
     return BundleProblem(
         K=jnp.asarray(K4, jnp.float32),
@@ -85,6 +108,9 @@ def make_bundle_problem(
         obs_cam=jnp.asarray(obs_cam, jnp.int32),
         obs_uv=jnp.asarray(obs_uv, jnp.float32),
         obs_valid=jnp.asarray(obs_valid),
+        point_rows=(
+            None if point_rows is None else jnp.asarray(point_rows, jnp.int32)
+        ),
     )
 
 
@@ -146,6 +172,7 @@ def bundle_adjust(
     max_iterations: int = 50,
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
+    gradient_tolerance: float = 1e-10,
     initial_radius: float = 1e4,
     schur_chunk: int = 2048,
     solve_mode: str = "dense",
@@ -158,6 +185,7 @@ def bundle_adjust(
         max_iterations=max_iterations,
         function_tolerance=function_tolerance,
         parameter_tolerance=parameter_tolerance,
+        gradient_tolerance=gradient_tolerance,
         initial_radius=initial_radius,
         schur_chunk=schur_chunk,
         solve_mode=solve_mode,
@@ -172,6 +200,7 @@ def bundle_adjust_impl(
     max_iterations: int = 50,
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
+    gradient_tolerance: float = 1e-10,
     initial_radius: float = 1e4,
     schur_chunk: int = 2048,
     solve_mode: str = "dense",
@@ -193,6 +222,9 @@ def bundle_adjust_impl(
     def _ps(x):
         return jax.lax.psum(x, axis_name) if axis_name is not None else x
 
+    def _pmax(x):
+        return jax.lax.pmax(x, axis_name) if axis_name is not None else x
+
     def _pv(x):
         # Mark a replicated value as device-varying so it can seed loop
         # carries whose bodies mix in sharded data (shard_map vma typing).
@@ -205,11 +237,31 @@ def bundle_adjust_impl(
 
     if refine_focal and solve_mode != "dense":
         raise ValueError("refine_focal requires solve_mode='dense'")
+    rows = prob.point_rows  # None = identity row->point map (trace-static)
+    if rows is not None and solve_mode == "dense":
+        raise ValueError(
+            "dense Schur requires the identity point_rows map (one row per "
+            "point); build the problem unsplit or use solve_mode='pcg'"
+        )
+    if rows is not None and axis_name is not None:
+        raise ValueError("distributed BA requires the identity point_rows map")
     C = prob.R.shape[0]
-    P, T = prob.obs_cam.shape
+    P, T = prob.obs_cam.shape      # P = observation-row capacity
+    Pn = prob.X.shape[0]           # point capacity (== P when rows is None)
+
+    def seg_pts(x_rows):
+        """Reduce a per-row quantity to per-point (identity = no-op)."""
+        if rows is None:
+            return x_rows
+        return jax.ops.segment_sum(x_rows, rows, num_segments=Pn)
+
+    def to_rows(x_pts):
+        """Gather a per-point quantity onto observation rows."""
+        return x_pts if rows is None else x_pts[rows]
+
     w = (
         prob.obs_valid
-        & prob.point_valid[:, None]
+        & to_rows(prob.point_valid)[:, None]
         & prob.cam_valid[prob.obs_cam]
     ).astype(jnp.float32)
     num_res = _ps(jnp.sum(w))
@@ -218,12 +270,14 @@ def bundle_adjust_impl(
     free_cam = (prob.cam_valid & ~prob.cam_const).astype(jnp.float32)  # (C,)
 
     def compute_cost(K, R, t, X):
-        r, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
+        r, _, _, _ = _residuals(K, R, t, to_rows(X), prob.obs_cam, prob.obs_uv, w)
         return _ps(_cost(r)), r
 
     def build_system(K, R, t, X):
         """Residuals + all Schur building blocks at the current state."""
-        r, p, z, R_obs = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
+        r, p, z, R_obs = _residuals(
+            K, R, t, to_rows(X), prob.obs_cam, prob.obs_uv, w
+        )
         q = p - t[prob.obs_cam]  # (P, T, 3) rotated-but-untranslated points
         fx, fy = K[0], K[1]
         inv_z = 1.0 / z
@@ -258,9 +312,13 @@ def bundle_adjust_impl(
                         precision=_HIGHEST),
             obs_cam_flat, num_segments=C,
         )  # (C, 6)
-        # Point blocks.
-        V = jnp.einsum("ptki,ptkj->pij", Jp, Jp, precision=_HIGHEST)  # (P, 3, 3)
-        g_p = -jnp.einsum("ptki,ptk->pi", Jp, r, precision=_HIGHEST)  # (P, 3)
+        # Point blocks (segment-reduced over rows when tracks are split).
+        V = seg_pts(
+            jnp.einsum("ptki,ptkj->pij", Jp, Jp, precision=_HIGHEST)
+        )  # (Pn, 3, 3)
+        g_p = seg_pts(
+            -jnp.einsum("ptki,ptk->pi", Jp, r, precision=_HIGHEST)
+        )  # (Pn, 3)
         # Coupling.
         W = jnp.einsum("ptki,ptkj->ptij", Jc, Jp, precision=_HIGHEST)  # (P, T, 6, 3)
         if not refine_focal:
@@ -422,66 +480,238 @@ def bundle_adjust_impl(
             dc = sol.reshape(C, 6)
         return dc, Y, df
 
-    def pcg_schur_solve(U_d, Vinv, W, g_c, g_p, focal=None, lam=0.0):
-        """Matrix-free PCG on S dc = rhs with block-Jacobi preconditioner."""
-        Y = jnp.einsum("ptij,pjk->ptik", W, Vinv, precision=_HIGHEST)
-        rhs = _ps(g_c - jax.ops.segment_sum(
-            jnp.einsum("oij,oj->oi", Y.reshape(-1, 6, 3),
-                       jnp.repeat(g_p, T, axis=0).reshape(-1, 3),
-                       precision=_HIGHEST),
-            obs_cam_flat, num_segments=C,
-        ))
-        Uinv = jnp.linalg.inv(U_d)  # (C, 6, 6) block-Jacobi preconditioner
+    # ---- flash (chunk-remat) machinery for the PCG path --------------------
+    # Per-observation Jacobian blocks are rebuilt from (K, R, t, X) inside
+    # each lax.scan chunk and reduced immediately — no O-sized (.., 6, 3)
+    # tensor ever hits HBM (TPU (8, 128) tiling would inflate it ~57x).
+    if solve_mode == "pcg":
+        ch = min(schur_chunk, P)
+        nchunks = (P + ch - 1) // ch
+        rpad = nchunks * ch - P
 
-        def S_mul(x):  # x: (C, 6)
-            Ux = jnp.einsum("cij,cj->ci", U_d, x, precision=_HIGHEST)
-            # Wx: sum_t W_pt^T x_{cam(pt)} -> (P, 3)
-            Wx = jnp.einsum("ptji,ptj->pi", W, x[prob.obs_cam], precision=_HIGHEST)
-            VinvWx = jnp.einsum("pij,pj->pi", Vinv, Wx, precision=_HIGHEST)
-            back = _ps(jax.ops.segment_sum(
-                jnp.einsum("oij,oj->oi", W.reshape(-1, 6, 3),
-                           jnp.repeat(VinvWx, T, axis=0).reshape(-1, 3),
-                           precision=_HIGHEST),
-                obs_cam_flat, num_segments=C,
-            ))
-            # Ux is computed from replicated U_d/x — identical on every shard,
-            # so it must NOT be psum'd; only the point-sharded term is.
-            return Ux - back
+        def _xs(arr):
+            if rpad:
+                cfgp = [(0, rpad)] + [(0, 0)] * (arr.ndim - 1)
+                arr = jnp.pad(arr, cfgp)
+            return arr
 
-        def prec(z):
-            return jnp.einsum("cij,cj->ci", Uinv, z, precision=_HIGHEST)
+        # Chunk xs laid out (nc, T, ch): minor dims (T, ch) tile cleanly.
+        cams_x = jnp.transpose(_xs(prob.obs_cam).reshape(nchunks, ch, T), (0, 2, 1))
+        u_x = jnp.transpose(
+            _xs(prob.obs_uv[..., 0]).reshape(nchunks, ch, T), (0, 2, 1))
+        v_x = jnp.transpose(
+            _xs(prob.obs_uv[..., 1]).reshape(nchunks, ch, T), (0, 2, 1))
+        w_x = jnp.transpose(_xs(w).reshape(nchunks, ch, T), (0, 2, 1))
+        prow_full = jnp.arange(P, dtype=jnp.int32) if rows is None else rows
+        prow_x = _xs(prow_full).reshape(nchunks, ch)
+        xs_all = (cams_x, u_x, v_x, w_x, prow_x)
+        eye3 = jnp.eye(3, dtype=jnp.float32)
 
-        x0 = jnp.zeros_like(rhs)
-        r0 = rhs - S_mul(x0)
-        z0 = prec(r0)
-        p0 = z0
+        def _chunk_geom(K, R, t, X, cams, prow):
+            Xr = X[prow]                           # (ch, 3)
+            R_o = R[cams]                          # (T, ch, 3, 3)
+            q = jnp.einsum("tcij,cj->tci", R_o, Xr, precision=_HIGHEST)
+            p = q + t[cams]
+            z = p[..., 2]
+            zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+            return q, p, zs, R_o
 
-        def body(carry, _):
-            x, r, z, pvec = carry
-            Sp = S_mul(pvec)
-            rz = jnp.sum(r * z)
-            alpha = rz / jnp.maximum(jnp.sum(pvec * Sp), 1e-20)
-            x = x + alpha * pvec
-            r_new = r - alpha * Sp
-            z_new = prec(r_new)
-            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
-            pvec = z_new + beta * pvec
-            return (x, r_new, z_new, pvec), None
+        def _chunk_resid(K, p, zs, uu, vv, ww):
+            ru = (K[0] * p[..., 0] / zs + K[2] - uu) * ww
+            rv = (K[1] * p[..., 1] / zs + K[3] - vv) * ww
+            return jnp.stack([ru, rv], axis=-1)    # (T, ch, 2)
 
-        (x, _, _, _), _ = jax.lax.scan(body, (x0, r0, z0, p0), None, length=pcg_iters)
-        return x, Y, None
+        def _chunk_jacs(K, q, p, zs, R_o, cams, ww):
+            inv_z = 1.0 / zs
+            zero = jnp.zeros_like(zs)
+            Jproj = jnp.stack([
+                jnp.stack([K[0] * inv_z, zero,
+                           -K[0] * p[..., 0] * inv_z * inv_z], axis=-1),
+                jnp.stack([zero, K[1] * inv_z,
+                           -K[1] * p[..., 1] * inv_z * inv_z], axis=-1),
+            ], axis=-2) * ww[..., None, None]      # (T, ch, 2, 3)
+            Jpose = jnp.concatenate(
+                [-_skew(q), jnp.broadcast_to(eye3, q.shape + (3,))], axis=-1
+            )                                       # (T, ch, 3, 6)
+            Jc = jnp.einsum("tcij,tcjk->tcik", Jproj, Jpose, precision=_HIGHEST)
+            Jp = jnp.einsum("tcij,tcjk->tcik", Jproj, R_o, precision=_HIGHEST)
+            Jc = Jc * free_cam[cams][..., None, None]
+            return Jc, Jp
 
-    solve = dense_schur_solve if solve_mode == "dense" else pcg_schur_solve
+        def _cam_reduce(cams, vals_flat, acc):
+            """acc (C, n) += one_hot(cams)^T @ vals — MXU, not scatter."""
+            oh = jax.nn.one_hot(cams.reshape(-1), C, dtype=jnp.float32)
+            return acc + jnp.einsum("oc,on->cn", oh, vals_flat,
+                                    precision=_HIGHEST)
+
+        def flash_system(K, R, t, X):
+            """One pass: U (C,6,6) psum'd, g_c partial, V, g_p, local cost."""
+            def body(carry, xs):
+                U, gc, V, gp, cost = carry
+                cams, uu, vv, ww, prow = xs
+                q, p, zs, R_o = _chunk_geom(K, R, t, X, cams, prow)
+                r2 = _chunk_resid(K, p, zs, uu, vv, ww)
+                Jc, Jp = _chunk_jacs(K, q, p, zs, R_o, cams, ww)
+                JcF = Jc.reshape(-1, 2, 6)
+                UU = jnp.einsum("oki,okj->oij", JcF, JcF,
+                                precision=_HIGHEST).reshape(-1, 36)
+                U = _cam_reduce(cams, UU, U)
+                gcc = -jnp.einsum("oki,ok->oi", JcF, r2.reshape(-1, 2),
+                                  precision=_HIGHEST)
+                gc = _cam_reduce(cams, gcc, gc)
+                Vc = jnp.einsum("tcki,tckj->cij", Jp, Jp,
+                                precision=_HIGHEST).reshape(-1, 9)
+                gpc = -jnp.einsum("tcki,tck->ci", Jp, r2, precision=_HIGHEST)
+                V = V.at[prow].add(Vc)
+                gp = gp.at[prow].add(gpc)
+                return (U, gc, V, gp, cost + _cost(r2)), None
+
+            init = (
+                _pv(jnp.zeros((C, 36), jnp.float32)),
+                _pv(jnp.zeros((C, 6), jnp.float32)),
+                _pv(jnp.zeros((Pn, 9), jnp.float32)),
+                _pv(jnp.zeros((Pn, 3), jnp.float32)),
+                _pv(jnp.zeros((), jnp.float32)),
+            )
+            U, gc, V, gp, cost = jax.lax.scan(body, init, xs_all)[0]
+            return _ps(U).reshape(C, 6, 6), gc, V.reshape(Pn, 3, 3), gp, cost
+
+        def flash_cost(K, R, t, X):
+            def body(cost, xs):
+                cams, uu, vv, ww, prow = xs
+                _, p, zs, _ = _chunk_geom(K, R, t, X, cams, prow)
+                return cost + _cost(_chunk_resid(K, p, zs, uu, vv, ww)), None
+            return jax.lax.scan(
+                body, _pv(jnp.zeros((), jnp.float32)), xs_all)[0]
+
+        def flash_reproj_sum(K, R, t, X):
+            def body(acc, xs):
+                cams, uu, vv, ww, prow = xs
+                _, p, zs, _ = _chunk_geom(K, R, t, X, cams, prow)
+                r2 = _chunk_resid(K, p, zs, uu, vv, ww)
+                return acc + jnp.sum(jnp.linalg.norm(r2, axis=-1)), None
+            return jax.lax.scan(
+                body, _pv(jnp.zeros((), jnp.float32)), xs_all)[0]
+
+        def flash_WT(K, R, t, X, x):
+            """(Pn, 3): per-point sum of W^T x_cam = Jp^T (Jc x_cam)."""
+            def body(acc, xs):
+                cams, uu, vv, ww, prow = xs
+                q, p, zs, R_o = _chunk_geom(K, R, t, X, cams, prow)
+                Jc, Jp = _chunk_jacs(K, q, p, zs, R_o, cams, ww)
+                Jcx = jnp.einsum("tcij,tcj->tci", Jc, x[cams],
+                                 precision=_HIGHEST)             # (T, ch, 2)
+                Wx = jnp.einsum("tcij,tci->cj", Jp, Jcx,
+                                precision=_HIGHEST)              # (ch, 3)
+                return acc.at[prow].add(Wx), None
+            return jax.lax.scan(
+                body, _pv(jnp.zeros((Pn, 3), jnp.float32)), xs_all)[0]
+
+        def flash_Wy(K, R, t, X, y_pts):
+            """(C, 6) partial: per-camera sum of W y_p = Jc^T (Jp y_p)."""
+            def body(acc, xs):
+                cams, uu, vv, ww, prow = xs
+                q, p, zs, R_o = _chunk_geom(K, R, t, X, cams, prow)
+                Jc, Jp = _chunk_jacs(K, q, p, zs, R_o, cams, ww)
+                y = y_pts[prow]                                  # (ch, 3)
+                Jpy = jnp.einsum("tcij,cj->tci", Jp, y,
+                                 precision=_HIGHEST)             # (T, ch, 2)
+                Wy = jnp.einsum("tcij,tci->tcj", Jc, Jpy,
+                                precision=_HIGHEST)              # (T, ch, 6)
+                return _cam_reduce(cams, Wy.reshape(-1, 6), acc), None
+            return jax.lax.scan(
+                body, _pv(jnp.zeros((C, 6), jnp.float32)), xs_all)[0]
+
+        def flash_pred(K, R, t, X, dc, dp):
+            """Predicted reduction -r.Jdx - 0.5|Jdx|^2 (psum'd)."""
+            def body(carry, xs):
+                s1, s2 = carry
+                cams, uu, vv, ww, prow = xs
+                q, p, zs, R_o = _chunk_geom(K, R, t, X, cams, prow)
+                r2 = _chunk_resid(K, p, zs, uu, vv, ww)
+                Jc, Jp = _chunk_jacs(K, q, p, zs, R_o, cams, ww)
+                Jdx = (
+                    jnp.einsum("tcij,tcj->tci", Jc, dc[cams], precision=_HIGHEST)
+                    + jnp.einsum("tcij,cj->tci", Jp, dp[prow], precision=_HIGHEST)
+                )
+                return (s1 + jnp.sum(r2 * Jdx), s2 + jnp.sum(Jdx * Jdx)), None
+            z0 = _pv(jnp.zeros((), jnp.float32))
+            (s1, s2), _ = jax.lax.scan(body, (z0, z0), xs_all)
+            return _ps(-s1 - 0.5 * s2)
+
+        def try_step_pcg(K, R, t, X, lam):
+            U, g_c, V, g_p, cost_l = flash_system(K, R, t, X)
+            cost = _ps(cost_l)
+            g_inf = jnp.maximum(
+                jnp.max(jnp.abs(_ps(g_c) * free_cam[:, None])),
+                _pmax(jnp.max(jnp.abs(g_p * prob.point_valid[:, None]))),
+            )
+            U_d, V_d = damped_blocks(U, V, lam)
+            Vinv = inv3x3(V_d)
+            # rhs = g_c - sum_p W_p Vinv_p g_p  (Schur-reduced gradient).
+            ygp = jnp.einsum("pij,pj->pi", Vinv, g_p, precision=_HIGHEST)
+            rhs = _ps(g_c + flash_Wy(K, R, t, X, -ygp))
+            Uinv = jnp.linalg.inv(U_d)
+
+            def S_mul(x):
+                Wx = flash_WT(K, R, t, X, x)
+                VinvWx = jnp.einsum("pij,pj->pi", Vinv, Wx, precision=_HIGHEST)
+                back = _ps(flash_Wy(K, R, t, X, VinvWx))
+                Ux = jnp.einsum("cij,cj->ci", U_d, x, precision=_HIGHEST)
+                # Ux comes from replicated U_d/x — identical on every shard,
+                # so it must NOT be psum'd; only the point-sharded term is.
+                return Ux - back
+
+            def prec(z):
+                return jnp.einsum("cij,cj->ci", Uinv, z, precision=_HIGHEST)
+
+            r0 = rhs  # S_mul(0) == 0
+            z0 = prec(r0)
+
+            def cg_body(carry, _):
+                x, r, z, pvec = carry
+                Sp = S_mul(pvec)
+                rz = jnp.sum(r * z)
+                alpha = rz / jnp.maximum(jnp.sum(pvec * Sp), 1e-20)
+                x = x + alpha * pvec
+                r_new = r - alpha * Sp
+                z_new = prec(r_new)
+                beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+                return (x, r_new, z_new, z_new + beta * pvec), None
+
+            (dc, _, _, _), _ = jax.lax.scan(
+                cg_body, (jnp.zeros_like(rhs), r0, z0, z0), None,
+                length=pcg_iters,
+            )
+            dc = dc * free_cam[:, None]
+            rhs_p = g_p - flash_WT(K, R, t, X, dc)
+            dp = jnp.einsum("pij,pj->pi", Vinv, rhs_p, precision=_HIGHEST)
+            dp = dp * prob.point_valid[:, None]
+            pred = flash_pred(K, R, t, X, dc, dp)
+            R_new = _exp_so3(dc[:, :3]) @ R
+            t_new = t + dc[:, 3:]
+            X_new = X + dp
+            new_cost = _ps(flash_cost(K, R_new, t_new, X_new))
+            step_sq = jnp.sum(dc * dc) + _ps(jnp.sum(dp * dp))
+            return cost, new_cost, pred, K, R_new, t_new, X_new, step_sq, g_inf
 
     def try_step(K, R, t, X, lam):
         r, U, g_c, V, g_p, W, Jc, Jp, focal = build_system(K, R, t, X)
         cost = _ps(_cost(r))  # global cost — must match compute_cost's reduction
+        # Gradient-convergence statistic (Ceres gradient_tolerance: stop when
+        # the max-norm of the full gradient falls under the threshold).
+        g_inf = jnp.maximum(
+            jnp.max(jnp.abs(_ps(g_c) * free_cam[:, None])),
+            _pmax(jnp.max(jnp.abs(g_p * prob.point_valid[:, None]))),
+        )
         U_d, V_d = damped_blocks(U, V, lam)
         Vinv = inv3x3(V_d)
-        dc, Y, df = solve(U_d, Vinv, W, g_c, g_p, focal, lam)
+        dc, Y, df = dense_schur_solve(U_d, Vinv, W, g_c, g_p, focal, lam)
         dc = dc * free_cam[:, None]
-        # Back-substitute point updates.
-        WTdc = jnp.einsum("ptij,pti->pj", W, dc[prob.obs_cam], precision=_HIGHEST)
+        # Back-substitute point updates (row partials reduced per point).
+        WTdc = seg_pts(
+            jnp.einsum("ptij,pti->pj", W, dc[prob.obs_cam], precision=_HIGHEST)
+        )
         rhs_p = g_p - WTdc
         if refine_focal:
             Jf, U_ff, U_cf, g_f, Wf_sum = focal
@@ -493,7 +723,7 @@ def bundle_adjust_impl(
         # through J dx at the observation level (cheap, exact).
         Jdx = (
             jnp.einsum("ptij,ptj->pti", Jc, dc[prob.obs_cam], precision=_HIGHEST)
-            + jnp.einsum("ptij,pj->pti", Jp, dp, precision=_HIGHEST)
+            + jnp.einsum("ptij,pj->pti", Jp, to_rows(dp), precision=_HIGHEST)
         )
         if refine_focal:
             Jdx = Jdx + jnp.einsum("ptij,j->pti", focal[0], df,
@@ -512,9 +742,13 @@ def bundle_adjust_impl(
         step_sq = jnp.sum(dc * dc) + _ps(jnp.sum(dp * dp))
         if refine_focal:
             step_sq = step_sq + jnp.sum(df * df)
-        return cost, new_cost, pred, K_new, R_new, t_new, X_new, step_sq
+        return cost, new_cost, pred, K_new, R_new, t_new, X_new, step_sq, g_inf
 
-    cost0, _ = compute_cost(prob.K, prob.R, prob.t, prob.X)
+    if solve_mode == "pcg":
+        try_step = try_step_pcg
+        cost0 = _ps(flash_cost(prob.K, prob.R, prob.t, prob.X))
+    else:
+        cost0, _ = compute_cost(prob.K, prob.R, prob.t, prob.X)
 
     def cond(state):
         K, R, t, X, radius, cost, it, done = state
@@ -524,7 +758,7 @@ def bundle_adjust_impl(
         K, R, t, X, radius, cost, it, done = state
         lam = 1.0 / radius
         (cost_cur, new_cost, pred, K_new, R_new, t_new, X_new,
-         step_sq) = try_step(K, R, t, X, lam)
+         step_sq, g_inf) = try_step(K, R, t, X, lam)
         rho = (cost_cur - new_cost) / jnp.maximum(pred, 1e-20)
         accept = (rho > 0) & (new_cost < cost_cur) & jnp.isfinite(new_cost)
         # Ceres-style radius update.
@@ -545,9 +779,10 @@ def bundle_adjust_impl(
             jnp.abs(cost_cur - new_cost) <= function_tolerance * cost_cur
         )
         x_conv = accept & (jnp.sqrt(step_sq) <= parameter_tolerance)
+        g_conv = g_inf <= gradient_tolerance
         stuck = ~accept & (radius_new <= 1e-14)
         return (K, R, t, X, radius_new, cost_out, it + 1,
-                f_conv | x_conv | stuck)
+                f_conv | x_conv | g_conv | stuck)
 
     state = (
         prob.K, prob.R, prob.t, prob.X,
@@ -558,8 +793,13 @@ def bundle_adjust_impl(
     denom = jnp.maximum(num_res, 1.0)
     # Mean Euclidean reprojection error per observation — the metric the
     # reference reports (Map::PrintStatistics / README "0.33772 px" style).
-    r_fin, _, _, _ = _residuals(K, R, t, X, prob.obs_cam, prob.obs_uv, w)
-    mean_reproj = _ps(jnp.sum(jnp.linalg.norm(r_fin, axis=-1))) / denom
+    if solve_mode == "pcg":
+        mean_reproj = _ps(flash_reproj_sum(K, R, t, X)) / denom
+    else:
+        r_fin, _, _, _ = _residuals(
+            K, R, t, to_rows(X), prob.obs_cam, prob.obs_uv, w
+        )
+        mean_reproj = _ps(jnp.sum(jnp.linalg.norm(r_fin, axis=-1))) / denom
 
     def _unvary(x):
         # Camera-side outputs are identical on every shard (all shard-varying

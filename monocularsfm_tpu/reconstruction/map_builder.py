@@ -69,6 +69,7 @@ class MapBuilder:
                          "local_ba", "global_ba", "filter", "total")
         }
         self._last_global_ba_count = 0
+        self._mesh = None  # lazy device mesh for sharded BA (False = unavailable)
         self._log = print
         # Optional structured metrics stream (SURVEY.md section 5 plan:
         # "metrics to stdout + optional jsonl").
@@ -217,42 +218,87 @@ class MapBuilder:
             return added
 
     # -- bundle adjustment ----------------------------------------------------
+    def _ba_mesh(self):
+        """Device mesh for landmark-sharded BA (None when sharding is off or
+        only one device is visible).  Built lazily, once."""
+        if not self.cfg.parallel.shard_ba:
+            return None
+        if self._mesh is None:
+            import jax
+
+            if len(jax.devices()) < 2:
+                self._mesh = False
+            else:
+                from monocularsfm_tpu.parallel import make_mesh
+
+                shape = self.cfg.parallel.mesh_shape
+                self._mesh = make_mesh(
+                    shape[0] if shape else None,
+                    axis_name=self.cfg.parallel.data_axis,
+                )
+        return self._mesh or None
+
     def local_ba(self, image_id: int):
         with self.timers["local_ba"]:
             prob, image_ids, pids = self.map.get_local_ba_data(
                 image_id, window=self.cfg.map_builder.local_ba_window
             )
+            # The reference runs the same 100-iteration optimizer for local
+            # and global bundles (MapBuilder.cpp:576-609); function_tolerance
+            # exits early on converged local windows.
             out = bundle_adjust(
                 prob,
-                max_iterations=self.cfg.bundle.max_iterations // 2,
+                max_iterations=self.cfg.bundle.max_iterations,
                 function_tolerance=self.cfg.bundle.function_tolerance,
+                gradient_tolerance=self.cfg.bundle.gradient_tolerance,
             )
             self.map.update_from_ba(out, image_ids, pids)
             return out
 
     def global_ba(self):
         with self.timers["global_ba"]:
-            prob, image_ids, pids = self.map.get_global_ba_data()
+            bcfg = self.cfg.bundle
+            n_imgs = len(self.map.registered_ids)
+            # Solver policy (CeresBundleOptimizer.cpp:262-276): dense Schur
+            # for small bundles, matrix-free PCG (ITERATIVE_SCHUR analogue)
+            # beyond dense_max_images.
+            dense = n_imgs <= bcfg.dense_max_images
+            mesh = self._ba_mesh()
+            # Landmark-sharded distributed BA needs one row per point, so
+            # tracks split across rows only on the single-device PCG path.
+            split = (not dense) and mesh is None
+            prob, image_ids, pids = self.map.get_global_ba_data(
+                track_width=bcfg.track_width, allow_split=split
+            )
             # < 10 images: tighter tolerances, 2x iterations
             # (CeresBundleOptimizer.cpp:279-291).
-            small = len(image_ids) < self.cfg.bundle.min_images_tight
-            out = bundle_adjust(
-                prob,
+            small = len(image_ids) < bcfg.min_images_tight
+            kwargs = dict(
                 max_iterations=(
-                    2 * self.cfg.bundle.max_iterations if small
-                    else self.cfg.bundle.max_iterations
+                    2 * bcfg.max_iterations if small else bcfg.max_iterations
                 ),
                 function_tolerance=(
-                    self.cfg.bundle.function_tolerance * 1e-2 if small
-                    else self.cfg.bundle.function_tolerance
+                    bcfg.function_tolerance * 1e-2 if small
+                    else bcfg.function_tolerance
                 ),
+                gradient_tolerance=bcfg.gradient_tolerance,
+                solve_mode="dense" if dense else "pcg",
+                pcg_iters=bcfg.pcg_iterations,
             )
+            if mesh is not None:
+                from monocularsfm_tpu.parallel import distributed_bundle_adjust
+
+                out = distributed_bundle_adjust(prob, mesh, **kwargs)
+            else:
+                out = bundle_adjust(prob, **kwargs)
             self.map.update_from_ba(out, image_ids, pids)
             self._last_global_ba_count = len(self.map.registered_ids)
             self._metric(
                 "global_ba", cams=len(image_ids),
                 iters=int(out["iterations"]),
                 rmse=round(float(out["rmse_final"]), 5),
+                solver="dense" if dense else "pcg",
+                sharded=mesh is not None,
             )
             return out
 

@@ -420,33 +420,61 @@ class Map:
         observation of the merged track reprojects under the threshold.
         Weighted-average position by track length."""
         merged = 0
-        use_native = self._native is not None
-        if use_native:
+        if self._native is not None:
+            # Batched passes: ONE native call discovers every candidate's
+            # merge partner on a p3d snapshot (per-point ctypes round-trips
+            # dominated maintenance at scale); merges then apply
+            # sequentially with liveness re-checks.  A point whose partner
+            # was consumed by an earlier merge in the same pass defers to
+            # the next pass; newly created points re-enter the next pass
+            # (the reference's recursive re-merge).
             g = self.scene_graph
             R_tab, t_tab = self._pose_row_tables()
             self._merge_tables = (g, R_tab, t_tab)
+            pending = [int(p) for p in point_ids]
+            while pending:
+                cand = [p for p in pending if self._alive[p]]
+                pending = []
+                if not cand:
+                    break
+                tracks = [self._node_track(p) for p in cand]
+                offsets = np.zeros(len(cand) + 1, np.int64)
+                offsets[1:] = np.cumsum([len(tr) for tr in tracks])
+                flat = (
+                    np.concatenate(tracks).astype(np.int32)
+                    if offsets[-1] else np.zeros(0, np.int32)
+                )
+                partners = np.empty(len(cand), np.int64)
+                self._native.find_merge_partners_batch(
+                    flat, offsets, len(cand), np.asarray(cand, np.int64),
+                    g._indptr, g._adj_node, g._node_image_row,
+                    self._node_p3d, self._registered_rows, partners,
+                )
+                for pid, q in zip(cand, partners):
+                    if q < 0 or not self._alive[pid]:
+                        continue
+                    if not self._alive[int(q)]:
+                        pending.append(pid)  # partner consumed: retry
+                        continue
+                    new_pid = self._merge_two(pid, int(q), max_error_px)
+                    if new_pid is not None:
+                        merged += 1
+                        pending.append(new_pid)
+            self._merge_tables = None
+            return merged
+        # NumPy fallback: sequential queue (tests assert parity vs native).
         queue = [int(p) for p in point_ids]
         while queue:
             pid = queue.pop()
             if not self._alive[pid]:
                 continue
-            if use_native:
-                nodes = self._node_track(pid)
-                partner = self._native.find_merge_partner(
-                    nodes, len(nodes), g._indptr, g._adj_node,
-                    g._node_image_row, self._node_p3d,
-                    self._registered_rows, pid,
-                ) if len(nodes) else -1
-                partner = None if partner < 0 else int(partner)
-            else:
-                partner = self._find_merge_partner(pid)
+            partner = self._find_merge_partner(pid)
             if partner is None:
                 continue
             new_pid = self._merge_two(pid, partner, max_error_px)
             if new_pid is not None:
                 merged += 1
                 queue.append(new_pid)  # recursive re-merge
-        self._merge_tables = None
         return merged
 
     def _find_merge_partner(self, pid: int):
@@ -567,20 +595,30 @@ class Map:
         )
 
     def _complete_points_native(self, point_ids, max_error_px, max_transitivity):
-        """Native-BFS completion: candidates from the C++ graph walk, error
-        tests vectorised.  Semantics note (documented divergence): the BFS
-        expands through every unassigned correspondent rather than only
-        through accepted ones — a superset of the reference's candidate set;
-        every addition is still gated by the same reprojection threshold.
+        """Native-BFS completion: ONE batched C++ call walks every point's
+        candidates (CSR output), then one vectorised error test accepts them.
+        Semantics notes (documented divergences): the BFS expands through
+        every unassigned correspondent rather than only through accepted
+        ones — a superset of the reference's candidate set — and candidate
+        discovery runs on a snapshot of the assignment table, so a node two
+        points both reach is claimed by whichever is accepted first (the
+        host re-checks assignment before each add).  Every addition is still
+        gated by the same reprojection threshold.
         """
         g = self.scene_graph
         rows = g._node_image_row
         offs = g._offset_of_row
         ids_list = g.image_ids
         R_tab, t_tab = self._pose_row_tables()
-        completed = 0
-        cand_buf = np.empty(4096, np.int32)
-        depth_buf = np.empty(4096, np.int32)
+        alive = [int(p) for p in point_ids if self._alive[int(p)]]
+        tracks = [self._node_track(p) for p in alive]
+        alive = [p for p, tr in zip(alive, tracks) if len(tr)]
+        tracks = [tr for tr in tracks if len(tr)]
+        if not alive:
+            return 0
+        track_off = np.zeros(len(alive) + 1, np.int64)
+        track_off[1:] = np.cumsum([len(tr) for tr in tracks])
+        flat = np.concatenate(tracks).astype(np.int32)
         # Persistent epoch-stamped visited scratch (see the C++ comment: a
         # fresh byte-map per point would memset GBs per maintenance pass).
         if getattr(self, "_visited_epoch_buf", None) is None or len(
@@ -588,42 +626,46 @@ class Map:
         ) != g.num_nodes:
             self._visited_epoch_buf = np.zeros(g.num_nodes, np.int32)
             self._visited_epoch = 0
-        for pid in point_ids:
-            pid = int(pid)
-            if not self._alive[pid]:
-                continue
-            nodes = self._node_track(pid)
-            if not len(nodes):
-                continue
-            self._visited_epoch += 1
-            if self._visited_epoch >= 2**31 - 1:
+        capacity = max(1 << 16, 32 * len(alive))
+        while True:
+            if self._visited_epoch + len(alive) + 1 >= 2**31 - 1:
                 self._visited_epoch_buf[:] = 0
-                self._visited_epoch = 1
-            n = self._native.completion_candidates(
-                nodes, len(nodes), g._indptr, g._adj_node, rows,
-                self._node_p3d, self._registered_rows, g.num_nodes,
-                max_transitivity, len(cand_buf), cand_buf, depth_buf,
-                self._visited_epoch_buf, self._visited_epoch,
+                self._visited_epoch = 0
+            epoch_start = self._visited_epoch + 1
+            self._visited_epoch += len(alive)
+            cand_buf = np.empty(capacity, np.int32)
+            out_off = np.empty(len(alive) + 1, np.int64)
+            total = self._native.completion_candidates_batch(
+                flat, track_off, len(alive), g._indptr, g._adj_node, rows,
+                self._node_p3d, self._registered_rows, max_transitivity,
+                capacity, cand_buf, out_off, self._visited_epoch_buf,
+                np.int32(epoch_start),
             )
-            if n == 0:
-                continue
-            cands = cand_buf[:n].copy()
-            X = self._xyz[pid]
-            # Vectorised error test over the candidates (table lookups only).
-            c_rows = rows[cands]
-            c_kpts = cands - offs[c_rows]
-            xc = R_tab[c_rows] @ X + t_tab[c_rows]
-            z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
-            u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
-            v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
-            uv = self._node_uv[cands]
-            err = np.hypot(u - uv[:, 0], v - uv[:, 1])
-            err = np.where(xc[:, 2] <= 0, 1e12, err)
-            for j in np.nonzero(err <= max_error_px)[0]:
-                image_id, kpt = ids_list[c_rows[j]], int(c_kpts[j])
-                if self.images[image_id].point3D[kpt] < 0:
-                    self.add_observation(pid, image_id, kpt)
-                    completed += 1
+            if total <= capacity:
+                break
+            capacity = int(total) + 1024  # truncated: retry, fresh epochs
+        n_cand = int(out_off[-1])
+        if n_cand == 0:
+            return 0
+        cands = cand_buf[:n_cand]
+        owner = np.repeat(np.arange(len(alive)), np.diff(out_off))
+        # Vectorised error test over ALL candidates of ALL points at once.
+        X = self._xyz[np.asarray(alive, np.int64)][owner]
+        c_rows = rows[cands]
+        c_kpts = cands - offs[c_rows]
+        xc = np.einsum("nij,nj->ni", R_tab[c_rows], X) + t_tab[c_rows]
+        z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+        u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
+        v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
+        uv = self._node_uv[cands]
+        err = np.hypot(u - uv[:, 0], v - uv[:, 1])
+        err = np.where(xc[:, 2] <= 0, 1e12, err)
+        completed = 0
+        for j in np.nonzero(err <= max_error_px)[0]:
+            image_id, kpt = ids_list[c_rows[j]], int(c_kpts[j])
+            if self.images[image_id].point3D[kpt] < 0:
+                self.add_observation(int(alive[owner[j]]), image_id, kpt)
+                completed += 1
         return completed
 
     def _batch_track_errors(self, pids):
@@ -726,14 +768,18 @@ class Map:
 
     # -- BA bridge -----------------------------------------------------------
     def _ba_problem_from(self, image_ids: list[int], const_ids: set[int],
-                         track_width: int = 16):
+                         track_width: int = 16, allow_split: bool = False):
         """Build a fixed-shape BundleProblem over the given images and every
         3D point any of them observes; measurements only from in-bundle
-        images (Map.cpp:1096-1097)."""
-        from monocularsfm_tpu.optim import make_bundle_problem
+        images (Map.cpp:1096-1097).
 
-        def _pad_to(x, m):
-            return ((x + m - 1) // m) * m
+        No observation is ever dropped: with allow_split=False the track
+        width T is bucketed up to the longest in-bundle track (dense-Schur
+        bundles, where T <= #images is small); with allow_split=True long
+        tracks split across multiple observation rows mapped back to one
+        point via BundleProblem.point_rows (PCG bundles at scale).
+        Assembly is fully vectorised (one point3D scan per image)."""
+        from monocularsfm_tpu.optim import make_bundle_problem
 
         def _pow2_bucket(x, minimum):
             # Pow2 capacity buckets keep the number of distinct BA shapes
@@ -743,19 +789,38 @@ class Map:
                 cap *= 2
             return cap
 
-        img_set = set(image_ids)
-        pids = sorted(
-            {
-                int(self.images[i].point3D[k])
-                for i in image_ids
-                for k in np.nonzero(self.images[i].point3D >= 0)[0]
-            }
+        # One vectorised scan per image: (point id, camera idx, uv) triples.
+        pid_parts, cam_parts, uv_parts = [], [], []
+        for c, img in enumerate(image_ids):
+            im = self.images[img]
+            k = np.nonzero(im.point3D >= 0)[0]
+            pid_parts.append(im.point3D[k])
+            cam_parts.append(np.full(len(k), c, np.int32))
+            uv_parts.append(im.uv[k])
+        all_pid = np.concatenate(pid_parts) if pid_parts else np.zeros(0, np.int64)
+        all_cam = np.concatenate(cam_parts) if cam_parts else np.zeros(0, np.int32)
+        all_uv = (
+            np.concatenate(uv_parts) if uv_parts else np.zeros((0, 2), np.float32)
         )
-        # Index maps.
+        pids_arr, inv = np.unique(all_pid, return_inverse=True)
+        pids = [int(p) for p in pids_arr]
+        counts = (
+            np.bincount(inv, minlength=len(pids)) if len(pids)
+            else np.zeros(0, np.int64)
+        )
+        max_len = int(counts.max()) if len(counts) else 2
+
         cam_index = {img: c for c, img in enumerate(image_ids)}
         C = _pow2_bucket(len(image_ids), 8)
         Pn = _pow2_bucket(len(pids), 256)
-        T = track_width
+        if allow_split:
+            T = track_width
+            rows_per_point = np.maximum(1, -(-counts // T))
+        else:
+            T = _pow2_bucket(max(max_len, 2), 8)
+            rows_per_point = np.ones(len(pids), np.int64)
+        num_rows = int(rows_per_point.sum())
+        Pr = _pow2_bucket(max(num_rows, 1), 256) if allow_split else Pn
 
         R = np.tile(np.eye(3), (C, 1, 1)).astype(np.float32)
         t = np.zeros((C, 3), np.float32)
@@ -763,32 +828,39 @@ class Map:
             R[c] = self.images[img].R
             t[c] = self.images[img].t
         X = np.zeros((Pn, 3), np.float32)
-        obs_cam = np.zeros((Pn, T), np.int32)
-        obs_uv = np.zeros((Pn, T, 2), np.float32)
-        obs_valid = np.zeros((Pn, T), bool)
-        for p, pid in enumerate(pids):
-            X[p] = self._xyz[pid]
-            slot = 0
-            for image_id, kpt in self._tracks[pid]:
-                if image_id not in img_set or slot >= T:
-                    continue
-                obs_cam[p, slot] = cam_index[image_id]
-                obs_uv[p, slot] = self.images[image_id].uv[kpt]
-                obs_valid[p, slot] = True
-                slot += 1
+        X[: len(pids)] = self._xyz[pids_arr]
+        obs_cam = np.zeros((Pr, T), np.int32)
+        obs_uv = np.zeros((Pr, T, 2), np.float32)
+        obs_valid = np.zeros((Pr, T), bool)
+        point_rows = np.zeros(Pr, np.int32)
+        if len(all_pid):
+            # Row/slot of every observation, vectorised: sort by point, take
+            # the within-point ordinal, and split it into (row, slot).
+            order = np.argsort(inv, kind="stable")
+            sorted_inv = inv[order]
+            starts = np.concatenate([[0], np.cumsum(counts)])[:-1]
+            occ = np.arange(len(all_pid)) - starts[sorted_inv]
+            row_base = np.concatenate([[0], np.cumsum(rows_per_point)])[:-1]
+            rows = (row_base[sorted_inv] + occ // T).astype(np.int64)
+            slots = (occ % T).astype(np.int64)
+            obs_cam[rows, slots] = all_cam[order]
+            obs_uv[rows, slots] = all_uv[order]
+            obs_valid[rows, slots] = True
+            point_rows[rows] = sorted_inv
         cam_valid = np.zeros(C, bool)
         cam_valid[: len(image_ids)] = True
         cam_const = np.zeros(C, bool)
         for img in const_ids:
             cam_const[cam_index[img]] = True
         point_valid = np.zeros(Pn, bool)
-        point_valid[: len(pids)] = obs_valid[: len(pids)].sum(axis=1) >= 2
+        point_valid[: len(pids)] = counts >= 2
         K4 = np.array(
             [self.K[0, 0], self.K[1, 1], self.K[0, 2], self.K[1, 2]], np.float32
         )
         prob = make_bundle_problem(
             K4, R, t, X, obs_cam, obs_uv, obs_valid, cam_const,
             cam_valid=cam_valid, point_valid=point_valid,
+            point_rows=point_rows if allow_split else None,
         )
         return prob, image_ids, pids
 
@@ -809,12 +881,16 @@ class Map:
         const = {ids[-1]} if len(ids) > 1 else set()
         return self._ba_problem_from(ids, const)
 
-    def get_global_ba_data(self):
+    def get_global_ba_data(self, track_width: int = 16,
+                           allow_split: bool = False):
         """Global bundle over all registered images; first registered image
-        pinned (Map.cpp:1138)."""
+        pinned (Map.cpp:1138).  allow_split enables the long-track row
+        splitting used by the PCG solver at scale (see _ba_problem_from)."""
         ids = list(self.registered_ids)
         const = {ids[0]} if ids else set()
-        return self._ba_problem_from(ids, const)
+        return self._ba_problem_from(
+            ids, const, track_width=track_width, allow_split=allow_split
+        )
 
     def update_from_ba(self, result, image_ids: list[int], pids: list[int]):
         """Write back optimised poses/points (Map.cpp:1175-1206)."""

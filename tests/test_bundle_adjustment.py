@@ -87,6 +87,49 @@ class TestBundleAdjust:
         pcg = bundle_adjust(prob, max_iterations=25, solve_mode="pcg", pcg_iters=80)
         assert float(pcg["rmse_final"]) < float(dense["rmse_final"]) * 1.05 + 1e-3
 
+    def test_split_rows_match_unsplit(self, ring_scene):
+        """Long tracks split across width-4 rows (point_rows map) must give
+        the same optimum as the single-row layout — no observation dropped."""
+        from monocularsfm_tpu.optim.ba import BundleProblem
+
+        prob = _build_problem(ring_scene, noise_px=0.3, perturb=0.5)
+        obs_cam = np.asarray(prob.obs_cam)
+        obs_uv = np.asarray(prob.obs_uv)
+        obs_valid = np.asarray(prob.obs_valid)
+        Ts = 4
+        rc, ruv, rv, prows = [], [], [], []
+        for p in range(obs_cam.shape[0]):
+            idx = np.nonzero(obs_valid[p])[0]
+            for s in range(0, max(len(idx), 1), Ts):
+                ch = idx[s : s + Ts]
+                c = np.zeros(Ts, np.int32)
+                u = np.zeros((Ts, 2), np.float32)
+                v = np.zeros(Ts, bool)
+                c[: len(ch)] = obs_cam[p, ch]
+                u[: len(ch)] = obs_uv[p, ch]
+                v[: len(ch)] = True if len(ch) else False
+                v[len(ch):] = False
+                rc.append(c)
+                ruv.append(u)
+                rv.append(v)
+                prows.append(p)
+        split = BundleProblem(
+            K=prob.K, R=prob.R, t=prob.t, X=prob.X,
+            cam_valid=prob.cam_valid, cam_const=prob.cam_const,
+            point_valid=prob.point_valid,
+            obs_cam=jnp.asarray(np.stack(rc)),
+            obs_uv=jnp.asarray(np.stack(ruv)),
+            obs_valid=jnp.asarray(np.stack(rv)),
+            point_rows=jnp.asarray(np.array(prows, np.int32)),
+        )
+        ref = bundle_adjust(prob, max_iterations=25, solve_mode="pcg", pcg_iters=80)
+        out = bundle_adjust(split, max_iterations=25, solve_mode="pcg", pcg_iters=80)
+        assert float(out["num_residuals"]) == float(ref["num_residuals"])
+        assert abs(float(out["rmse_final"]) - float(ref["rmse_final"])) < 1e-2
+        # Dense Schur must refuse the split layout.
+        with pytest.raises(ValueError):
+            bundle_adjust(split, max_iterations=2, solve_mode="dense")
+
     def test_against_scipy_oracle(self):
         # Small problem so the dense scipy solve stays fast.
         scene = camera_ring_scene(num_cameras=5, num_points=80, noise_px=0.8, seed=11)
