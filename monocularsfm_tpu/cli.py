@@ -47,7 +47,9 @@ def cmd_match(cfg, log=print):
         "sequential": SequentialFeatureMatcher,
         "vocab": VocabTreeFeatureMatcher,
     }.get(cfg.matching.match_type, BruteFeatureMatcher)
-    n = cls(cfg.matching).run_matching(cfg.database_path, log=log)
+    n = cls(cfg.matching, parallel=cfg.parallel).run_matching(
+        cfg.database_path, log=log
+    )
     log(f"[match] wrote {n} pairs in {time.perf_counter()-t0:.1f}s")
 
 

@@ -9,7 +9,10 @@ fixed-shape dispatch — M×N residual evaluation rides the VPU/MXU instead of
 an adaptive sequential loop.
 """
 
-from monocularsfm_tpu.estimators.fundamental import estimate_fundamental_ransac
+from monocularsfm_tpu.estimators.fundamental import (
+    estimate_fundamental_ransac,
+    estimate_fundamental_ransac_batch,
+)
 from monocularsfm_tpu.estimators.essential import (
     estimate_essential_ransac,
     decompose_essential,
@@ -20,6 +23,7 @@ from monocularsfm_tpu.estimators.pnp import estimate_pnp_ransac
 
 __all__ = [
     "estimate_fundamental_ransac",
+    "estimate_fundamental_ransac_batch",
     "estimate_essential_ransac",
     "decompose_essential",
     "recover_pose_from_essential",

@@ -139,3 +139,28 @@ def estimate_fundamental_ransac(
         "num_inliers": num_inl,
         "success": num_inl >= 8,
     }
+
+
+@functools.partial(jax.jit, static_argnames=("num_hyps",))
+def estimate_fundamental_ransac_batch(
+    key: jax.Array,
+    x1: jnp.ndarray,
+    x2: jnp.ndarray,
+    mask: jnp.ndarray,
+    threshold_px: float | jnp.ndarray = 4.0,
+    num_hyps: int = 2048,
+):
+    """F-RANSAC over a slab of pairs in ONE dispatch.
+
+    x1/x2: (B, N, 2) pixels, mask: (B, N).  vmaps the single-pair estimator
+    so geometric verification of a whole match batch costs one XLA program
+    (the reference loops cv::findFundamentalMat per pair,
+    FeatureMatching.cpp:49-60; here the loop is the batch dimension).
+    Returns the same dict with a leading B axis on every entry.
+    """
+    keys = jax.random.split(key, x1.shape[0])
+    return jax.vmap(
+        lambda k, a, b, m: estimate_fundamental_ransac(
+            k, a, b, m, threshold_px=threshold_px, num_hyps=num_hyps
+        )
+    )(keys, x1, x2, mask)

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from monocularsfm_tpu.config import MatchingConfig
 from monocularsfm_tpu.database import Database
-from monocularsfm_tpu.estimators import estimate_fundamental_ransac
+from monocularsfm_tpu.estimators import estimate_fundamental_ransac_batch
 from monocularsfm_tpu.ops.matching import match_pairs_batch, matches_to_pairs
 
 
@@ -35,9 +35,37 @@ def _pad_pow2(n: int, minimum: int = 1024) -> int:
 
 
 class _MatcherBase:
-    def __init__(self, config: MatchingConfig | None = None):
+    def __init__(self, config: MatchingConfig | None = None, parallel=None):
         self.cfg = config or MatchingConfig()
+        self.par = parallel  # ParallelConfig | None — pair-sharded dispatch
+        self._mesh = None    # lazy; False = resolved unavailable
         self._key = jax.random.PRNGKey(1234)
+
+    def _match_mesh(self):
+        """Device mesh for pair-sharded matching (None = single-device)."""
+        if self.par is None or not self.par.shard_matching:
+            return None
+        if self._mesh is None:
+            if len(jax.devices()) < 2:
+                self._mesh = False
+            else:
+                from monocularsfm_tpu.parallel import make_mesh
+
+                shape = self.par.mesh_shape
+                self._mesh = make_mesh(
+                    shape[0] if shape else None, axis_name=self.par.data_axis
+                )
+        return self._mesh or None
+
+    def _dispatch_match(self, bank, mask, ids, mesh, **kw):
+        """One matching dispatch: pair-sharded over the mesh when present
+        (each device matches its slab of pairs; ids length must then be a
+        multiple of the mesh size), single-device otherwise."""
+        if mesh is not None:
+            from monocularsfm_tpu.parallel import sharded_match_pairs
+
+            return sharded_match_pairs(bank, mask, np.asarray(ids), mesh, **kw)
+        return match_pairs_batch(bank, mask, jnp.asarray(ids, jnp.int32), **kw)
 
     # -- descriptor bank -----------------------------------------------------
     def _load_bank(self, db: Database, image_ids: list[int]):
@@ -63,23 +91,31 @@ class _MatcherBase:
         return jnp.asarray(bank), jnp.asarray(mask), kps, cap
 
     # -- geometric verification ---------------------------------------------
-    def _verify(self, uv1: np.ndarray, uv2: np.ndarray):
-        """F-RANSAC inlier mask (FeatureUtils::FilterMatches semantics)."""
-        n = len(uv1)
-        if n < 8:
-            return np.zeros(n, bool)
-        cap = _pad_pow2(n, minimum=512)
-        x1 = np.zeros((cap, 2), np.float32)
-        x2 = np.zeros((cap, 2), np.float32)
-        m = np.zeros(cap, bool)
-        x1[:n], x2[:n], m[:n] = uv1, uv2, True
+    def _verify_batch(self, uv_pairs: list[tuple[np.ndarray, np.ndarray]]):
+        """F-RANSAC inlier masks for a slab of pairs in ONE device dispatch
+        (FeatureUtils::FilterMatches semantics; the reference verifies pairs
+        one cv::findFundamentalMat call at a time, FeatureMatching.cpp:49-60).
+
+        uv_pairs: [(uv1 (n_i, 2), uv2 (n_i, 2)), ...].  Returns a list of
+        bool (n_i,) inlier masks."""
+        if not uv_pairs:
+            return []
+        Bc = _pad_pow2(len(uv_pairs), minimum=min(8, self.cfg.pair_batch))
+        cap = _pad_pow2(max(len(a) for a, _ in uv_pairs), minimum=512)
+        x1 = np.zeros((Bc, cap, 2), np.float32)
+        x2 = np.zeros((Bc, cap, 2), np.float32)
+        m = np.zeros((Bc, cap), bool)
+        for p, (uv1, uv2) in enumerate(uv_pairs):
+            n = len(uv1)
+            x1[p, :n], x2[p, :n], m[p, :n] = uv1, uv2, n >= 8
         self._key, key = jax.random.split(self._key)
-        out = estimate_fundamental_ransac(
+        out = estimate_fundamental_ransac_batch(
             key, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
             threshold_px=self.cfg.ransac_threshold_px,
             num_hyps=self.cfg.ransac_iterations,
         )
-        return np.asarray(out["inliers"])[:n]
+        inl = np.asarray(out["inliers"])
+        return [inl[p, : len(a)] for p, (a, _) in enumerate(uv_pairs)]
 
     # -- one batched dispatch over a pair slab -------------------------------
     def _match_and_verify_pairs(self, db, bank, mask, kps, image_ids, pairs,
@@ -87,7 +123,9 @@ class _MatcherBase:
         """pairs: list of (image_id_a, image_id_b). Returns #pairs written."""
         row_of = {i: r for r, i in enumerate(image_ids)}
         written = 0
-        B = self.cfg.pair_batch
+        mesh = self._match_mesh()
+        # With a mesh each device matches `pair_batch` pairs per dispatch.
+        B = self.cfg.pair_batch * (mesh.devices.size if mesh is not None else 1)
         for start in range(0, len(pairs), B):
             chunk = [
                 (a, b) for a, b in pairs[start : start + B]
@@ -97,25 +135,29 @@ class _MatcherBase:
                 continue
             # Pad the chunk to the fixed dispatch width.
             padded = chunk + [chunk[-1]] * (B - len(chunk))
-            ids = jnp.asarray(
-                [[row_of[a], row_of[b]] for a, b in padded], jnp.int32
-            )
+            ids = [[row_of[a], row_of[b]] for a, b in padded]
             idx_b = np.asarray(
-                match_pairs_batch(
-                    bank, mask, ids,
+                self._dispatch_match(
+                    bank, mask, ids, mesh,
                     ratio=self.cfg.distance_ratio,
                     max_distance=self.cfg.max_distance,
                     cross_check=self.cfg.cross_check,
                 )
             )
+            # Collect the whole chunk's raw matches, then verify them all in
+            # ONE batched F-RANSAC dispatch (no per-pair jit dispatches).
+            to_verify = []   # (a, b, i_idx, j_idx)
+            uv_pairs = []
             for p, (a, b) in enumerate(chunk):
                 i_idx, j_idx = matches_to_pairs(idx_b[p])
                 if len(i_idx) < self.cfg.min_num_matches_verified:
                     db.write_matches(a, b, np.zeros((0, 2), np.int32))
                     continue
-                uv1 = kps[a][i_idx, :2]
-                uv2 = kps[b][j_idx, :2]
-                inl = self._verify(uv1, uv2)
+                to_verify.append((a, b, i_idx, j_idx))
+                uv_pairs.append((kps[a][i_idx, :2], kps[b][j_idx, :2]))
+            for (a, b, i_idx, j_idx), inl in zip(
+                to_verify, self._verify_batch(uv_pairs)
+            ):
                 m = np.stack([i_idx[inl], j_idx[inl]], axis=1).astype(np.int32)
                 if len(m) < self.cfg.min_num_matches_verified:
                     m = np.zeros((0, 2), np.int32)

@@ -68,6 +68,7 @@ def ring_all_pairs_matching(
     max_distance: float = 0.7,
     cross_check: bool = True,
     col_tile: int = 1024,
+    max_matches: int = 1024,
 ):
     """All-pairs matching with the descriptor bank SHARDED over the mesh —
     the ring-attention analogue for SfM (SURVEY.md section 5: "rotate
@@ -78,14 +79,18 @@ def ring_all_pairs_matching(
     (k hops around the ring), then forwards that shard to its neighbour.
     Per-chip HBM stays O(2 * I/n_dev * N * D) regardless of collection size.
 
-    With cross_check=True matches are mutual, so the B->A map is the inverse
-    of the A->B map and only floor(n/2)+1 ring steps are needed (each
-    unordered device pair meets once); the missing direction is filled by
-    index inversion on host.  Without cross-check the full n steps run.
+    Matches are COMPACTED ON DEVICE to (max_matches, 2) (i, j) index pairs
+    per image pair and streamed to the host one ring step at a time, so
+    neither HBM nor host memory ever holds an (I, I, N) map — host memory is
+    O(I^2/n_dev * max_matches) per step, and the returned dict is
+    O(sum of actual match counts).
+
+    With cross_check=True matches are mutual, so each unordered pair needs
+    only one direction and floor(n/2)+1 ring steps; returns
+    {(a, b): (m, 2) int32} with a < b.  Without cross-check all n steps run
+    and the dict maps ORDERED (query, bank) pairs, a != b.
 
     desc_bank: (I, N, D) float32, I divisible by mesh size.
-    Returns (I, I, N) int32: out[q, b] = match map of image q vs image b
-    (-1 where unmatched; diagonal untouched).
     """
     axis = mesh.axis_names[0]
     n = mesh.devices.size
@@ -94,63 +99,94 @@ def ring_all_pairs_matching(
     i_loc = I // n
     steps = (n // 2 + 1) if cross_check else n
     fwd = [(i, (i + 1) % n) for i in range(n)]
+    K = min(max_matches, N)
 
-    def local(desc, mask):  # (i_loc, N, D), (i_loc, N) per device
-        desc = desc.astype(jnp.bfloat16)  # halves ICI traffic; the matmul
-        # runs in bf16 anyway (ops/matching.py casts internally).
+    def compact(m):
+        """(N,) match map -> (K, 2) (i, j) rows, -1-padded, i ascending."""
+        valid = m >= 0
+        iota = jnp.arange(N, dtype=jnp.int32)
+        # Valid entries rank highest (and keep ascending-i order among
+        # themselves); one top_k replaces a full argsort.
+        score = jnp.where(valid, 2 * N - iota, N - iota)
+        _, order = jax.lax.top_k(score, K)
+        ok = valid[order]
+        return jnp.stack(
+            [jnp.where(ok, order, -1), jnp.where(ok, m[order], -1)], axis=-1
+        )
 
-        def step(carry, _):
-            rd, rm = carry
+    def one_step(desc, mask, rd, rm):
+        """Match resident queries vs the arrived shard; forward the shard."""
+        def one_query(qd, qm):
+            def one_bank(bd, bm):
+                return compact(match_descriptors_pair(
+                    qd, bd, qm, bm,
+                    ratio=ratio, max_distance=max_distance,
+                    cross_check=cross_check, col_tile=col_tile,
+                ))
 
-            def one_query(qd, qm):
-                def one_bank(bd, bm):
-                    return match_descriptors_pair(
-                        qd, bd, qm, bm,
-                        ratio=ratio, max_distance=max_distance,
-                        cross_check=cross_check, col_tile=col_tile,
-                    )
+            return jax.vmap(one_bank)(rd, rm)
 
-                return jax.vmap(one_bank)(rd, rm)
-
-            out = jax.vmap(one_query)(desc, mask)  # (i_loc, i_loc, N)
-            rd = jax.lax.ppermute(rd, axis, fwd)
-            rm = jax.lax.ppermute(rm, axis, fwd)
-            return (rd, rm), out
-
-        _, outs = jax.lax.scan(step, (desc, mask), None, length=steps)
-        return outs  # (steps, i_loc_query, i_loc_bank, N)
+        out = jax.vmap(one_query)(desc, mask)  # (i_loc, i_loc, K, 2)
+        rd = jax.lax.ppermute(rd, axis, fwd)
+        rm = jax.lax.ppermute(rm, axis, fwd)
+        return rd, rm, out
 
     fn = jax.jit(
         jax.shard_map(
-            local, mesh=mesh,
-            in_specs=(P(axis), P(axis)),
-            out_specs=P(None, axis),
+            one_step, mesh=mesh,
+            in_specs=(P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis)),
         )
     )
-    out = np.asarray(
-        fn(jnp.asarray(desc_bank), jnp.asarray(mask_bank))
-    )  # (steps, I, i_loc, N): [k, d*i_loc+q, b] = query (d,q) vs shard (d-k)%n
 
-    res = np.full((I, I, N), -1, np.int32)
-    covered = np.zeros((n, n), bool)
+    desc = jnp.asarray(desc_bank, jnp.bfloat16)  # halves ICI traffic; the
+    # matmul runs in bf16 anyway (ops/matching.py casts internally).
+    mask = jnp.asarray(mask_bank)
+    rd, rm = desc, mask
+    result: dict[tuple[int, int], np.ndarray] = {}
     for k in range(steps):
-        for d in range(n):
-            src = (d - k) % n
-            res[d * i_loc:(d + 1) * i_loc, src * i_loc:(src + 1) * i_loc] = \
-                out[k, d * i_loc:(d + 1) * i_loc]
-            covered[d, src] = True
-    if cross_check:
-        # Mutual matches: derive the uncovered direction by inversion.
-        for dq in range(n):
-            for ds in range(n):
-                if covered[dq, ds] or not covered[ds, dq]:
-                    continue
-                for q in range(dq * i_loc, (dq + 1) * i_loc):
-                    for b in range(ds * i_loc, (ds + 1) * i_loc):
-                        m = res[b, q]
-                        j = np.nonzero(m >= 0)[0]
-                        res[q, b][m[j]] = j
-    return res
+        rd, rm, out = fn(desc, mask, rd, rm)
+        o = np.asarray(out)  # (I, i_loc, K, 2); row q matched shard (d-k)%n
+        # Vectorised extraction: global ids of every valid (q, b, slot).
+        qg, bl, slot = np.nonzero(o[..., 0] >= 0)
+        src = (qg // i_loc - k) % n
+        bg = src * i_loc + bl
+        if cross_check:
+            # Each unordered pair once: emit a < b (swap columns when the
+            # mutual map arrived as (b -> a)); skip diagonals and the
+            # second visit of a pair (n even, k == n/2).
+            keep = qg != bg
+            qk, bk = qg[keep], bg[keep]
+            ij = o[qg[keep], bl[keep], slot[keep]]
+            swap = qk > bk
+            a = np.where(swap, bk, qk)
+            b = np.where(swap, qk, bk)
+            ij = np.where(swap[:, None], ij[:, ::-1], ij)
+        else:
+            keep = qg != bg
+            a, b = qg[keep], bg[keep]
+            ij = o[qg[keep], bl[keep], slot[keep]]
+        if not len(a):
+            continue
+        pair_key = a.astype(np.int64) * I + b
+        # A pair can be produced twice within one step (k = 0 matches a
+        # shard against itself; even n meets its antipode both ways at
+        # k = n/2).  Mutual matches make the copies identical rows — dedup
+        # on (pair, i).
+        comp = pair_key * np.int64(N + 1) + ij[:, 0]
+        order = np.argsort(comp, kind="stable")
+        comp, pair_key, ij = comp[order], pair_key[order], ij[order]
+        fresh = np.ones(len(comp), bool)
+        fresh[1:] = comp[1:] != comp[:-1]
+        pair_key, ij = pair_key[fresh], ij[fresh]
+        uniq, starts = np.unique(pair_key, return_index=True)
+        for u, s, e in zip(
+            uniq, starts, np.append(starts[1:], len(pair_key))
+        ):
+            key = (int(u // I), int(u % I))
+            if key not in result:  # first visit wins (pair met in 2 steps)
+                result[key] = ij[s:e]
+    return result
 
 
 def ring_bank_matching(
