@@ -105,9 +105,9 @@ class RegistrantConfig:
     # Reference: include/Reconstruction/Registrant.h:20-28.
     abs_pose_min_num_inliers: int = 15
     abs_pose_max_error_px: float = 4.0
-    ransac_confidence: float = 0.9999
-    ransac_iterations: int = 4096
-    pnp_method: str = "p6p"  # p6p (DLT minimal-6) | epnp; ref uses P3P/AP3P/EPNP/UPNP
+    ransac_confidence: float = 0.9999  # adaptive-continuation bound
+    ransac_iterations: int = 4096      # hypotheses per dispatch round
+    pnp_method: str = "epnp"  # epnp (4-pt minimal) | p6p (DLT minimal-6); ref uses P3P/AP3P/EPNP/UPNP
 
 
 @dataclasses.dataclass

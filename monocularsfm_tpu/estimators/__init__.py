@@ -20,6 +20,10 @@ from monocularsfm_tpu.estimators.essential import (
 )
 from monocularsfm_tpu.estimators.homography import estimate_homography_ransac
 from monocularsfm_tpu.estimators.pnp import estimate_pnp_ransac
+from monocularsfm_tpu.estimators.ransac import (
+    num_ransac_iterations,
+    rounds_to_confidence,
+)
 
 __all__ = [
     "estimate_fundamental_ransac",
@@ -29,4 +33,6 @@ __all__ = [
     "recover_pose_from_essential",
     "estimate_homography_ransac",
     "estimate_pnp_ransac",
+    "num_ransac_iterations",
+    "rounds_to_confidence",
 ]

@@ -64,3 +64,31 @@ def num_ransac_iterations(confidence: float, inlier_ratio: float, sample_size: i
     if denom >= 0:
         return max_iterations
     return int(min(max_iterations, math.ceil(math.log(1 - confidence) / denom)))
+
+
+def rounds_to_confidence(
+    confidence: float,
+    inlier_count: int,
+    num_valid: int,
+    sample_size: int,
+    hyps_per_round: int,
+    max_rounds: int = 4,
+) -> int:
+    """Total hypothesis ROUNDS the classic termination bound demands.
+
+    OpenCV's RANSAC adapts by *stopping early* once 1-(1-w^m)^k >= confidence
+    (w = best inlier ratio so far).  Batch hardware inverts the direction:
+    one fixed `hyps_per_round`-wide dispatch runs first, and if the observed
+    best model leaves the confidence bound unmet, the caller runs further
+    identically-shaped rounds (same compiled program) and keeps the best.
+    Returns the number of rounds (>= 1) needed given the best model so far,
+    capped at `max_rounds`."""
+    import math
+
+    need = num_ransac_iterations(
+        confidence,
+        inlier_count / max(num_valid, 1),
+        sample_size,
+        max_iterations=hyps_per_round * max_rounds,
+    )
+    return min(max_rounds, max(1, math.ceil(need / hyps_per_round)))

@@ -100,6 +100,8 @@ class _MatcherBase:
         bool (n_i,) inlier masks."""
         if not uv_pairs:
             return []
+        from monocularsfm_tpu.estimators import rounds_to_confidence
+
         Bc = _pad_pow2(len(uv_pairs), minimum=min(8, self.cfg.pair_batch))
         cap = _pad_pow2(max(len(a) for a, _ in uv_pairs), minimum=512)
         x1 = np.zeros((Bc, cap, 2), np.float32)
@@ -108,13 +110,44 @@ class _MatcherBase:
         for p, (uv1, uv2) in enumerate(uv_pairs):
             n = len(uv1)
             x1[p, :n], x2[p, :n], m[p, :n] = uv1, uv2, n >= 8
-        self._key, key = jax.random.split(self._key)
-        out = estimate_fundamental_ransac_batch(
-            key, jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m),
-            threshold_px=self.cfg.ransac_threshold_px,
-            num_hyps=self.cfg.ransac_iterations,
-        )
+        x1j, x2j, mj = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m)
+
+        def run_round():
+            self._key, key = jax.random.split(self._key)
+            return estimate_fundamental_ransac_batch(
+                key, x1j, x2j, mj,
+                threshold_px=self.cfg.ransac_threshold_px,
+                num_hyps=self.cfg.ransac_iterations,
+            )
+
+        # Adaptive continuation to `ransac_confidence` (the conf argument of
+        # cv::findFundamentalMat in FeatureUtils::FilterMatches): whenever any
+        # pair's best model leaves the 1-(1-w^8)^k bound unmet, re-dispatch
+        # the same compiled program with fresh hypotheses and keep the
+        # per-pair better model.
+        out = run_round()
         inl = np.asarray(out["inliers"])
+        counts = inl.sum(axis=1)
+        nvalid = m.sum(axis=1)
+        rounds = 1
+        while rounds < max(
+            (
+                rounds_to_confidence(
+                    self.cfg.ransac_confidence, int(c), int(v), 8,
+                    self.cfg.ransac_iterations,
+                )
+                for c, v in zip(counts[: len(uv_pairs)], nvalid[: len(uv_pairs)])
+                if v >= 8
+            ),
+            default=1,
+        ):
+            out2 = run_round()
+            inl2 = np.asarray(out2["inliers"])
+            counts2 = inl2.sum(axis=1)
+            better = counts2 > counts
+            inl[better] = inl2[better]
+            counts = np.maximum(counts, counts2)
+            rounds += 1
         return [inl[p, : len(a)] for p, (a, _) in enumerate(uv_pairs)]
 
     # -- one batched dispatch over a pair slab -------------------------------
@@ -187,7 +220,10 @@ class _MatcherBase:
             mask[row_of[i], :n] = True
         bank_j, mask_j = jnp.asarray(bank), jnp.asarray(mask)
         kept = []
-        B = max(self.cfg.pair_batch * 4, 64)
+        # The reference walks brute pairs in host batches of max_pairs_size
+        # and preemptively filters each batch (FeatureMatching.cpp:110-142);
+        # here that batch is one padded device dispatch.
+        B = _pad_pow2(self.cfg.max_pairs_size, minimum=64)
         for start in range(0, len(pairs), B):
             chunk = pairs[start : start + B]
             padded = chunk + [chunk[-1]] * (B - len(chunk))

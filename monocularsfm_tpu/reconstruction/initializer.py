@@ -100,6 +100,26 @@ class Initializer:
         self._key, k = jax.random.split(self._key)
         return k
 
+    def _adaptive(self, run, sample_size: int, num_valid: int):
+        """Re-dispatch identically-shaped hypothesis rounds until the classic
+        RANSAC termination bound meets `ransac_confidence` (the adaptive
+        iteration count of cv::findHomography/findFundamentalMat, inverted
+        into adaptive *continuation* for batch hardware).  Keeps the best
+        round by inlier count."""
+        from monocularsfm_tpu.estimators import rounds_to_confidence
+
+        out = run(self._next_key())
+        rounds = 1
+        while rounds < rounds_to_confidence(
+            self.cfg.ransac_confidence, int(out["num_inliers"]), num_valid,
+            sample_size, self.cfg.ransac_iterations,
+        ):
+            out2 = run(self._next_key())
+            if int(out2["num_inliers"]) > int(out["num_inliers"]):
+                out = out2
+            rounds += 1
+        return out
+
     def initialize(self, uv1: np.ndarray, uv2: np.ndarray):
         """Try to bootstrap from correspondences of one image pair.
 
@@ -119,15 +139,21 @@ class Initializer:
         x1[:n], x2[:n], m[:n] = uv1, uv2, True
         x1j, x2j, mj = jnp.asarray(x1), jnp.asarray(x2), jnp.asarray(m)
 
-        h_out = estimate_homography_ransac(
-            self._next_key(), x1j, x2j, mj,
-            threshold_px=cfg.rel_pose_homography_error,
-            num_hyps=cfg.ransac_iterations,
+        h_out = self._adaptive(
+            lambda k: estimate_homography_ransac(
+                k, x1j, x2j, mj,
+                threshold_px=cfg.rel_pose_homography_error,
+                num_hyps=cfg.ransac_iterations,
+            ),
+            sample_size=4, num_valid=n,
         )
-        f_out = estimate_fundamental_ransac(
-            self._next_key(), x1j, x2j, mj,
-            threshold_px=cfg.rel_pose_essential_error,
-            num_hyps=cfg.ransac_iterations,
+        f_out = self._adaptive(
+            lambda k: estimate_fundamental_ransac(
+                k, x1j, x2j, mj,
+                threshold_px=cfg.rel_pose_essential_error,
+                num_hyps=cfg.ransac_iterations,
+            ),
+            sample_size=8, num_valid=n,
         )
         h_inl = int(h_out["num_inliers"])
         f_inl = int(f_out["num_inliers"])
@@ -149,10 +175,13 @@ class Initializer:
         focal = float(self.K[0, 0])
         # Re-estimate E on the F-inliers (deliberately not E = K^T F K — the
         # reference documents the same choice, Initializer.cpp:306-309).
-        e_out = estimate_essential_ransac(
-            self._next_key(), xn1, xn2, f_out["inliers"],
-            threshold_norm=cfg.rel_pose_essential_error / focal,
-            num_hyps=cfg.ransac_iterations,
+        e_out = self._adaptive(
+            lambda k: estimate_essential_ransac(
+                k, xn1, xn2, f_out["inliers"],
+                threshold_norm=cfg.rel_pose_essential_error / focal,
+                num_hyps=cfg.ransac_iterations,
+            ),
+            sample_size=8, num_valid=int(f_out["num_inliers"]),
         )
         if int(e_out["num_inliers"]) < 8:
             stats.fail_reason = "essential estimation failed"

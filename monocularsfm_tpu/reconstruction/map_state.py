@@ -408,11 +408,6 @@ class Map:
                 out.append((k, track))
         return out
 
-    def count_correspondences_with_registered(self, image_id: int) -> int:
-        ptr, adj_img, _ = self.scene_graph.correspondences_of_image(image_id)
-        reg = {i for i in self.registered_ids}
-        return int(np.isin(adj_img, list(reg)).sum()) if reg else 0
-
     # -- track maintenance ---------------------------------------------------
     def merge_points(self, point_ids, max_error_px: float = 4.0) -> int:
         """MergePoints3D (Map.cpp:507-651): for each candidate point, try to

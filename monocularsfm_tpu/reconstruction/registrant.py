@@ -15,7 +15,7 @@ import jax
 import jax.numpy as jnp
 
 from monocularsfm_tpu.config import RegistrantConfig
-from monocularsfm_tpu.estimators import estimate_pnp_ransac
+from monocularsfm_tpu.estimators import estimate_pnp_ransac, rounds_to_confidence
 
 
 @dataclasses.dataclass
@@ -51,13 +51,33 @@ class Registrant:
         U = np.zeros((cap, 2), np.float32)
         m = np.zeros(cap, bool)
         X[:n], U[:n], m[:n] = xyz, uv, True
-        self._key, key = jax.random.split(self._key)
-        out = estimate_pnp_ransac(
-            key, jnp.asarray(self.K.astype(np.float32)),
-            jnp.asarray(X), jnp.asarray(U), jnp.asarray(m),
-            threshold_px=cfg.abs_pose_max_error_px,
-            num_hyps=cfg.ransac_iterations,
-        )
+        Kj = jnp.asarray(self.K.astype(np.float32))
+        Xj, Uj, mj = jnp.asarray(X), jnp.asarray(U), jnp.asarray(m)
+
+        def run_round():
+            self._key, key = jax.random.split(self._key)
+            return estimate_pnp_ransac(
+                key, Kj, Xj, Uj, mj,
+                threshold_px=cfg.abs_pose_max_error_px,
+                num_hyps=cfg.ransac_iterations,
+                method=cfg.pnp_method,
+            )
+
+        # Adaptive continuation: keep dispatching identically-shaped
+        # hypothesis rounds until the classic 1-(1-w^m)^k >= confidence bound
+        # holds for the best model seen (cv::solvePnPRansac's adaptive
+        # termination, inverted for batch hardware).
+        sample_size = 5 if cfg.pnp_method == "epnp" else 6
+        out = run_round()
+        rounds = 1
+        while rounds < rounds_to_confidence(
+            cfg.ransac_confidence, int(out["num_inliers"]), n,
+            sample_size, cfg.ransac_iterations,
+        ):
+            out2 = run_round()
+            if int(out2["num_inliers"]) > int(out["num_inliers"]):
+                out = out2
+            rounds += 1
         stats.num_inliers = int(out["num_inliers"])
         stats.ave_residual = float(out["mean_inlier_error_px"])
         if stats.num_inliers < cfg.abs_pose_min_num_inliers:

@@ -201,3 +201,58 @@ class TestPnP:
             num_hyps=64,
         )
         assert not bool(out["success"])
+
+    def test_epnp_recovers_pose(self, ring_scene):
+        s = ring_scene
+        rng = np.random.default_rng(11)
+        c = 5
+        vis = s.visible[c]
+        X = s.points[vis]
+        uv = s.observations[c][vis].copy()
+        uv += rng.normal(scale=0.4, size=uv.shape)
+        cap = 512
+        k = min(len(X), cap)
+        Xp = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        Xp[:k], uvp[:k], m[:k] = X[:k], uv[:k], True
+        out = estimate_pnp_ransac(
+            jax.random.PRNGKey(9), jnp.asarray(s.K.astype(np.float32)),
+            jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(m),
+            threshold_px=4.0, num_hyps=1024, method="epnp",
+        )
+        assert bool(out["success"])
+        R_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(out["R"]).T @ s.R[c]) - 1) / 2, -1, 1)))
+        assert R_err < 0.5, R_err
+        assert np.linalg.norm(np.asarray(out["t"]) - s.t[c]) < 0.05
+
+    def test_epnp_beats_p6p_at_high_outlier_ratio(self, ring_scene):
+        """The 5-point minimal sample survives low-inlier registrations the
+        6-point DLT sample misses at the same hypothesis budget (the
+        outlier-fragility concern of substituting P6P for the reference's
+        P3P/EPnP family)."""
+        s = ring_scene
+        rng = np.random.default_rng(3)
+        c = 2
+        vis = s.visible[c]
+        X = s.points[vis]
+        uv = s.observations[c][vis].copy()
+        n = len(X)
+        n_out = int(0.7 * n)
+        oi = rng.choice(n, n_out, replace=False)
+        uv[oi] = rng.uniform(0, [s.width, s.height], size=(n_out, 2))
+        cap = 512
+        k = min(n, cap)
+        Xp = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        Xp[:k], uvp[:k], m[:k] = X[:k], uv[:k], True
+        out = estimate_pnp_ransac(
+            jax.random.PRNGKey(1), jnp.asarray(s.K.astype(np.float32)),
+            jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(m),
+            threshold_px=4.0, num_hyps=512, method="epnp",
+        )
+        R_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(out["R"]).T @ s.R[c]) - 1) / 2, -1, 1)))
+        assert bool(out["success"]) and R_err < 1.0, R_err
