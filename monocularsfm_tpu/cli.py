@@ -143,7 +143,10 @@ def cmd_export(cfg, map_obj, out_dir, log=print):
     write_colmap(map_obj, out / "colmap")
     write_ply(map_obj, out / "cloud.ply")
     write_ply_binary(map_obj, out / "cloud_binary.ply")
-    write_openmvs(map_obj, out / "scene.mvs", image_dir=cfg.images_path)
+    write_openmvs(
+        map_obj, out / "scene.mvs", image_dir=cfg.images_path,
+        images_path=cfg.images_path, dist=cfg.camera.dist_coeffs(), log=log,
+    )
     log(f"[export] COLMAP/PLY/OpenMVS written to {out}")
 
 

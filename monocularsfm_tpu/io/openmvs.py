@@ -14,13 +14,79 @@ from that public interchange spec:
            scalars raw little-endian.
 
 We emit one platform holding one shared camera (K normalised by
-max(width, height) when a resolution is given — OpenMVS convention) and one
-pose per registered image.
+max(width, height) when a resolution is given — OpenMVS convention), one
+pose per registered image, and — like the reference — an image entry for
+EVERY input image: registered ones point at their pose, unregistered ones
+carry poseID = NO_ID (Map.cpp:1521-1543).  When the source image directory
+is given, every image is remapped through the inverse distortion into
+`undistorted_images/` (the reference's initUndistortRectifyMap + remap dump,
+Map.cpp:1490-1519) and the archive references those undistorted files —
+densification must see distortion-free pixels because the emitted K carries
+no distortion terms.
 """
 
 from __future__ import annotations
 
+import pathlib
 import struct
+
+import numpy as np
+
+NO_ID = 0xFFFFFFFF
+
+
+def _undistort_maps(K, dist, width: int, height: int):
+    """Per-output-pixel distorted source coordinates (the remap tables of
+    cv::initUndistortRectifyMap): for each undistorted pixel, apply the
+    FORWARD distortion model to find where to sample the recorded image."""
+    k1, k2, p1, p2 = [float(d) for d in dist]
+    fx, fy, cx, cy = K[0, 0], K[1, 1], K[0, 2], K[1, 2]
+    u, v = np.meshgrid(np.arange(width, dtype=np.float32),
+                       np.arange(height, dtype=np.float32))
+    x = (u - cx) / fx
+    y = (v - cy) / fy
+    r2 = x * x + y * y
+    radial = 1.0 + k1 * r2 + k2 * r2 * r2
+    xd = x * radial + 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+    yd = y * radial + p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+    return (xd * fx + cx).astype(np.float32), (yd * fy + cy).astype(np.float32)
+
+
+def dump_undistorted_images(map_obj, images_path, out_dir, K, dist,
+                            image_ids=None, log=None):
+    """Remap every source image through the inverse lens distortion into
+    `out_dir` (parity: Map::WriteOpenMVS's undistorted_images dump,
+    Map.cpp:1490-1519).  Identity copy when all coefficients are zero.
+    Returns the list of (image_id, written_name)."""
+    import cv2
+
+    out_dir = pathlib.Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    images_path = pathlib.Path(images_path)
+    ids = sorted(image_ids if image_ids is not None else map_obj.images.keys())
+    written = []
+    maps = None
+    for img_id in ids:
+        name = map_obj.images[img_id].name
+        src = images_path / name
+        dst = out_dir / pathlib.Path(name).name
+        written.append((img_id, dst.name))
+        if dst.exists():
+            continue
+        bgr = cv2.imread(str(src), cv2.IMREAD_COLOR)
+        if bgr is None:
+            if log:
+                log(f"[openmvs] missing source image {src}, skipped")
+            continue
+        h, w = bgr.shape[:2]
+        if np.any(np.asarray(dist) != 0.0):
+            if maps is None or maps[0].shape != (h, w):
+                maps = _undistort_maps(np.asarray(K, float), dist, w, h)
+            und = cv2.remap(bgr, maps[0], maps[1], cv2.INTER_LINEAR)
+        else:
+            und = bgr
+        cv2.imwrite(str(dst), und)
+    return written
 
 
 def _u32(f, v):
@@ -46,8 +112,15 @@ def _string(f, s):
 
 
 def write_openmvs(map_obj, path, width: int = 0, height: int = 0,
-                  image_dir: str = ""):
-    """Serialise the sparse scene for OpenMVS densification."""
+                  image_dir: str = "", images_path: str = "",
+                  dist=None, log=None):
+    """Serialise the sparse scene for OpenMVS densification.
+
+    When `images_path` points at the source photos, every image is dumped
+    undistorted into `<path's dir>/undistorted_images/` and the archive
+    references those files; otherwise entries point into `image_dir`.
+    ALL images appear in the archive — unregistered ones with poseID=NO_ID
+    (Map.cpp:1521-1543)."""
     K = map_obj.K.copy().astype(float)
     has_res = width > 0 and height > 0
     if has_res:
@@ -61,6 +134,15 @@ def write_openmvs(map_obj, path, width: int = 0, height: int = 0,
 
     reg_ids = sorted(map_obj.registered_ids)
     pose_index = {img: i for i, img in enumerate(reg_ids)}
+    all_ids = sorted(map_obj.images.keys())
+
+    und_names = {}
+    if images_path:
+        und_dir = pathlib.Path(path).parent / "undistorted_images"
+        dcoef = np.zeros(4) if dist is None else np.asarray(dist, float)
+        und_names = dict(dump_undistorted_images(
+            map_obj, images_path, und_dir, K, dcoef, all_ids, log=log
+        ))
 
     with open(path, "wb") as f:
         f.write(b"MVSI")
@@ -86,17 +168,21 @@ def write_openmvs(map_obj, path, width: int = 0, height: int = 0,
             _f64(f, *im.R.reshape(-1))
             _f64(f, *C)
 
-        # images
-        _u64(f, len(reg_ids))
-        for img in reg_ids:
+        # images: every input image; unregistered get poseID = NO_ID
+        # (Map.cpp:1521-1543).
+        _u64(f, len(all_ids))
+        for img in all_ids:
             im = map_obj.images[img]
-            name = im.name
-            if image_dir:
-                name = f"{image_dir.rstrip('/')}/{name}"
+            if img in und_names:
+                name = f"undistorted_images/{und_names[img]}"
+            elif image_dir:
+                name = f"{image_dir.rstrip('/')}/{im.name}"
+            else:
+                name = im.name
             _string(f, name)
-            _u32(f, 0)                 # platformID
-            _u32(f, 0)                 # cameraID
-            _u32(f, pose_index[img])   # poseID
+            _u32(f, 0)                              # platformID
+            _u32(f, 0)                              # cameraID
+            _u32(f, pose_index.get(img, NO_ID))     # poseID
 
         # vertices
         pids = map_obj.point_ids()
@@ -154,12 +240,16 @@ def read_openmvs_summary(path):
             n_pose = u64()
             skip(n_pose * (9 + 3) * 8)
         n_img = u64()
+        n_posed = 0
+        names = []
         for _ in range(n_img):
-            skip(u64())
-            skip(12)
+            names.append(f.read(u64()).decode("utf-8"))
+            _, _, pose_id = struct.unpack("<III", f.read(12))
+            n_posed += pose_id != NO_ID
         n_vert = u64()
         for _ in range(n_vert):
             skip(12)
             skip(u64() * 8)
         return {"version": version, "platforms": n_plat, "images": n_img,
+                "posed_images": n_posed, "image_names": names,
                 "vertices": n_vert}

@@ -74,3 +74,55 @@ class TestOpenMVS:
         assert info["vertices"] == small_map.num_points3D
         raw = p.read_bytes()
         assert raw[:4] == b"MVSI"
+
+    def test_unregistered_images_get_no_id(self, ring_scene, tmp_path):
+        """Reference lists EVERY image; unregistered ones carry poseID=NO_ID
+        (Map.cpp:1521-1543)."""
+        s = ring_scene
+        m = Map(s.K)
+        for i in range(5):
+            m.load_image(i, f"img_{i:04d}.jpg", s.observations[i][:100])
+        for i in range(3):  # register only 3 of 5
+            m.add_image_pose(i, s.R[i], s.t[i])
+        for p in range(40):
+            if all(s.visible[i, p] for i in range(3)):
+                m.add_point3d(s.points[p], [(i, p) for i in range(3)])
+        out = tmp_path / "scene.mvs"
+        write_openmvs(m, out, width=1024, height=768)
+        info = read_openmvs_summary(out)
+        assert info["images"] == 5
+        assert info["posed_images"] == 3
+
+    def test_undistorted_image_dump(self, small_map, tmp_path):
+        """Dumped images are remapped through the distortion model
+        (Map.cpp:1490-1519): a known distorted pattern must land back at its
+        undistorted pixel position."""
+        cv2 = pytest.importorskip("cv2")
+        from monocularsfm_tpu.io.openmvs import _undistort_maps
+
+        w, h = 320, 240
+        K = np.asarray(small_map.K, float)  # the writer remaps with map_obj.K
+        dist = np.array([-0.25, 0.05, 0.0, 0.0])
+        # Render a white dot AT the distorted location of target pixel (220, 160).
+        mapx, mapy = _undistort_maps(K, dist, w, h)
+        tx, ty = 220, 160
+        sx, sy = int(round(mapx[ty, tx])), int(round(mapy[ty, tx]))
+        src_dir = tmp_path / "photos"
+        src_dir.mkdir()
+        img = np.zeros((h, w, 3), np.uint8)
+        cv2.circle(img, (sx, sy), 4, (255, 255, 255), -1)
+        for i in range(4):
+            cv2.imwrite(str(src_dir / f"img_{i:04d}.jpg"), img)
+        out = tmp_path / "scene.mvs"
+        write_openmvs(small_map, out, width=w, height=h,
+                      images_path=str(src_dir), dist=dist)
+        info = read_openmvs_summary(out)
+        assert all(n.startswith("undistorted_images/") for n in info["image_names"])
+        und = cv2.imread(str(tmp_path / "undistorted_images" / "img_0000.jpg"))
+        assert und is not None and und.shape == (h, w, 3)
+        # The dot moved to the undistorted target position.
+        yy, xx = np.where(und[:, :, 0] > 128)
+        assert len(xx) > 0
+        assert abs(xx.mean() - tx) < 2.0 and abs(yy.mean() - ty) < 2.0
+        # And is no longer at the distorted source position.
+        assert np.hypot(xx.mean() - sx, yy.mean() - sy) > 3.0
