@@ -404,6 +404,61 @@ def _build_octave_batched(base_b):
     return jax.vmap(_build_octave)(base_b)
 
 
+@jax.jit
+def _collect_octave(det, angles, avalid, desc, octave_scale):
+    """Flatten one octave's detections into original-image coordinates —
+    stays on device; both orientation slots become independent rows.
+
+    Returns (kp (B, K*2, 4) [x, y, size, angle_deg], desc (B, K*2, 128),
+    valid (B, K*2))."""
+    x = det["x"] * octave_scale                       # (B, K)
+    y = det["y"] * octave_scale
+    size = det["sigma_octave"] * octave_scale * 2.0   # size ~ 2*sigma
+    ang_deg = jnp.degrees(angles)                     # (B, K, 2)
+    B, K = x.shape
+    kp = jnp.stack(
+        [
+            jnp.broadcast_to(x[..., None], (B, K, 2)),
+            jnp.broadcast_to(y[..., None], (B, K, 2)),
+            jnp.broadcast_to(size[..., None], (B, K, 2)),
+            ang_deg,
+        ],
+        axis=-1,
+    )                                                  # (B, K, 2, 4)
+    valid = det["valid"][..., None] & avalid           # (B, K, 2)
+    return (
+        kp.reshape(B, K * 2, 4),
+        desc.reshape(B, K * 2, 128),
+        valid.reshape(B, K * 2),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("num_features", "normalization"))
+def _select_top_features(kp, desc, valid, num_features: int,
+                         normalization: str):
+    """Cross-octave top-`num_features` by keypoint size, ON DEVICE (the
+    reference's ExtractTopScaleKeyPoints policy, FeatureUtils.cpp:38-96),
+    followed by the output normalisation — so the whole extraction makes
+    exactly one device->host transfer per batch."""
+    score = jnp.where(valid, kp[..., 2], -1.0)
+    n = min(num_features, score.shape[1])
+    vals, idx = jax.lax.top_k(score, n)                     # (B, n)
+    kp_s = jnp.take_along_axis(kp, idx[..., None], axis=1)
+    desc_s = jnp.take_along_axis(desc, idx[..., None], axis=1)
+    val_s = vals > 0.0
+    if normalization == "l1_root":
+        # RootSIFT: L1-normalise then sqrt -> unit L2 (FeatureUtils.cpp:260-270).
+        desc_s = desc_s / jnp.maximum(
+            jnp.sum(jnp.abs(desc_s), axis=-1, keepdims=True), 1e-12
+        )
+        desc_s = jnp.sqrt(desc_s)
+    else:  # l2
+        desc_s = desc_s / jnp.maximum(
+            jnp.linalg.norm(desc_s, axis=-1, keepdims=True), 1e-12
+        )
+    return kp_s, desc_s, val_s
+
+
 class SIFT:
     """Host orchestration: octave loop + final keypoint selection.
 
@@ -442,8 +497,10 @@ class SIFT:
         num_octaves = int(np.round(np.log2(min(H0, W0)))) - 3
         num_octaves = max(min(num_octaves, 8), 1)
 
-        all_kp = [[] for _ in range(B)]
-        all_desc = [[] for _ in range(B)]
+        # Per-octave results stay on device; the cross-octave top-k and the
+        # output normalisation run as one final device program, so the whole
+        # batch costs a single device->host transfer (no per-octave syncs).
+        oct_kp, oct_desc, oct_valid = [], [], []
         g = base
         for o in range(num_octaves):
             gauss = _build_octave_batched(g)  # (B, S, H, W)
@@ -452,61 +509,30 @@ class SIFT:
             k_oct = min(self.k_per_octave, N_SCALES * h * w_)
             det = _detect_octave_batched(gauss, k_oct, self.contrast_threshold)
             angles, avalid, desc = _orient_describe_batched(gauss, det)
-            valid_b = np.asarray(det["valid"])
-            xs_b = np.asarray(det["x"])
-            ys_b = np.asarray(det["y"])
-            sig_b = np.asarray(det["sigma_octave"])
-            ang_b = np.asarray(angles)
-            av_b = np.asarray(avalid)
-            de_b = np.asarray(desc)
-            octave_scale = 2.0 ** (o + first_octave)
-            for b in range(B):
-                valid = valid_b[b]
-                if not valid.any():
-                    continue
-                for slot in range(2):
-                    keep = valid & av_b[b, :, slot]
-                    if not keep.any():
-                        continue
-                    kp = np.stack(
-                        [
-                            xs_b[b][keep] * octave_scale,
-                            ys_b[b][keep] * octave_scale,
-                            sig_b[b][keep] * octave_scale * 2.0,  # size ~ 2*sigma
-                            np.degrees(ang_b[b][keep, slot]),
-                        ],
-                        axis=1,
-                    )
-                    all_kp[b].append(kp)
-                    all_desc[b].append(de_b[b][keep, slot])
+            kp_o, desc_o, val_o = _collect_octave(
+                det, angles, avalid, desc, 2.0 ** (o + first_octave)
+            )
+            oct_kp.append(kp_o)
+            oct_desc.append(desc_o)
+            oct_valid.append(val_o)
             # Next octave: downsample the scale-(N_SCALES) gaussian image.
             g = gauss[:, N_SCALES, ::2, ::2]
             if min(g.shape[1:]) < 16:
                 break
 
+        kp_all = jnp.concatenate(oct_kp, axis=1)
+        desc_all = jnp.concatenate(oct_desc, axis=1)
+        val_all = jnp.concatenate(oct_valid, axis=1)
+        kp_s, desc_s, val_s = _select_top_features(
+            kp_all, desc_all, val_all, self.num_features, self.normalization
+        )
+        kp_h = np.asarray(kp_s, np.float32)
+        desc_h = np.asarray(desc_s, np.float32)
+        val_h = np.asarray(val_s)
+
         out_kp, out_desc = [], []
         for b in range(B):
-            if not all_kp[b]:
-                out_kp.append(np.zeros((0, 4), np.float32))
-                out_desc.append(np.zeros((0, 128), np.float32))
-                continue
-            kps = np.concatenate(all_kp[b])
-            descs = np.concatenate(all_desc[b])
-            # Top num_features by size (scale), descending — reference policy.
-            if len(kps) > self.num_features:
-                order = np.argsort(-kps[:, 2], kind="stable")[: self.num_features]
-                kps, descs = kps[order], descs[order]
-            if self.normalization == "l1_root":
-                # RootSIFT: L1-normalise then sqrt -> unit L2
-                # (FeatureUtils.cpp:260-270).
-                descs = descs / np.maximum(
-                    np.abs(descs).sum(axis=1, keepdims=True), 1e-12
-                )
-                descs = np.sqrt(descs)
-            else:  # l2
-                descs = descs / np.maximum(
-                    np.linalg.norm(descs, axis=1, keepdims=True), 1e-12
-                )
-            out_kp.append(kps.astype(np.float32))
-            out_desc.append(descs.astype(np.float32))
+            keep = val_h[b]
+            out_kp.append(kp_h[b][keep])
+            out_desc.append(desc_h[b][keep])
         return out_kp, out_desc

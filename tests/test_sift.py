@@ -75,7 +75,30 @@ class TestSift:
         # Fraction of cv2 keypoints that we also detect within 2 px.
         d = np.linalg.norm(cv_xy[:, None, :] - kp[None, :, :2], axis=2)
         repeat = (d.min(axis=1) < 2.0).mean()
-        assert repeat > 0.5, f"repeatability vs OpenCV {repeat:.2f}"
+        assert repeat > 0.9, f"repeatability vs OpenCV {repeat:.2f}"
+
+    def test_match_count_parity_vs_opencv(self, rendered, sift):
+        """End-to-end detector+descriptor quality: cross-view verified match
+        counts on the rendered scene must reach OpenCV SIFT's (the metric
+        registration rate actually depends on — SURVEY hard part #2)."""
+        cv2 = __import__("cv2")
+        imgs, *_ = rendered
+        kp1, d1 = sift.extract(imgs[0])
+        kp2, d2 = sift.extract(imgs[1])
+        ours_i, ours_j = _match(d1, d2)
+
+        cv_sift = cv2.SIFT_create(nfeatures=1500)
+        ck1, cd1 = cv_sift.detectAndCompute(imgs[0], None)
+        ck2, cd2 = cv_sift.detectAndCompute(imgs[1], None)
+        # RootSIFT-normalise cv2's descriptors so both go through the SAME
+        # matcher with the same thresholds.
+        def rootsift(d):
+            d = d / np.maximum(np.abs(d).sum(axis=1, keepdims=True), 1e-12)
+            return np.sqrt(d).astype(np.float32)
+        cv_i, cv_j = _match(rootsift(cd1), rootsift(cd2))
+        assert len(ours_i) >= 0.8 * len(cv_i), (
+            f"ours {len(ours_i)} matches vs cv2 {len(cv_i)}"
+        )
 
     def test_num_features_cap_by_scale(self, rendered):
         imgs, *_ = rendered
