@@ -25,8 +25,6 @@ class ExtractionConfig:
     max_image_size: int = 3200
     num_features: int = 8024
     normalization: str = "l1_root"  # l1_root | l2 (FeatureUtils.cpp:260-300)
-    # TPU-native knobs (new axis): fixed keypoint capacity (pad + mask).
-    capacity: int = 8192
     backend: str = "jax"  # jax (pallas/XLA SIFT) | opencv (host fallback)
     batch_size: int = 4    # images extracted per device dispatch
     # HBM guard: cap the dispatch batch so octave-0 working set (~23 fp32

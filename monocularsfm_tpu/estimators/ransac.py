@@ -13,6 +13,8 @@ loops, fully shaped.
 
 from __future__ import annotations
 
+import math
+
 import jax
 import jax.numpy as jnp
 
@@ -56,8 +58,6 @@ def num_ransac_iterations(confidence: float, inlier_ratio: float, sample_size: i
                           max_iterations: int = 10000) -> int:
     """Classic adaptive-iteration formula (host-side, for reporting only —
     the device always runs the full fixed batch)."""
-    import math
-
     eps = 1e-9
     w = max(min(inlier_ratio, 1 - eps), eps)
     denom = math.log(max(1 - w ** sample_size, eps))
@@ -82,13 +82,10 @@ def rounds_to_confidence(
     best model leaves the confidence bound unmet, the caller runs further
     identically-shaped rounds (same compiled program) and keeps the best.
     Returns the number of rounds (>= 1) needed given the best model so far,
-    capped at `max_rounds`."""
-    import math
-
+    capped at `max_rounds` (the single effective bound)."""
     need = num_ransac_iterations(
         confidence,
         inlier_count / max(num_valid, 1),
         sample_size,
-        max_iterations=hyps_per_round * max_rounds,
     )
     return min(max_rounds, max(1, math.ceil(need / hyps_per_round)))

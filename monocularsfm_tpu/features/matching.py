@@ -276,7 +276,8 @@ class VocabTreeFeatureMatcher(_MatcherBase):
 
     def run_matching(self, database_path: str, log=print) -> int:
         from monocularsfm_tpu.ops.vocab import (
-            quantize, retrieve_top_k, tfidf_signatures, train_visual_vocab,
+            quantize_batch, retrieve_top_k, tfidf_signatures,
+            train_visual_vocab,
         )
 
         cfg = self.cfg
@@ -289,10 +290,7 @@ class VocabTreeFeatureMatcher(_MatcherBase):
             flat = np.asarray(bank)[np.asarray(mask)]
             log(f"[match] training {num_words}-word vocab on {len(flat)} descriptors")
             vocab = jnp.asarray(train_visual_vocab(flat, num_words=num_words))
-            hists = jnp.stack([
-                quantize(bank[r], mask[r], vocab, num_words)
-                for r in range(len(image_ids))
-            ])
+            hists = quantize_batch(bank, mask, vocab, num_words)
             sig = tfidf_signatures(hists)
             k = min(cfg.vocab_num_neighbors, len(image_ids) - 1)
             _, nbrs = retrieve_top_k(sig, k)

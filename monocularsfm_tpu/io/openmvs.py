@@ -69,10 +69,11 @@ def dump_undistorted_images(map_obj, images_path, out_dir, K, dist,
     for img_id in ids:
         name = map_obj.images[img_id].name
         src = images_path / name
-        dst = out_dir / pathlib.Path(name).name
-        written.append((img_id, dst.name))
-        if dst.exists():
-            continue
+        # Flatten the (possibly nested) source path into a unique filename so
+        # two sources with the same basename cannot collide, and always
+        # rewrite so a re-export after K/dist changes never reuses stale
+        # undistorted pixels.
+        dst = out_dir / name.replace("/", "__").replace("\\", "__")
         bgr = cv2.imread(str(src), cv2.IMREAD_COLOR)
         if bgr is None:
             if log:
@@ -85,7 +86,10 @@ def dump_undistorted_images(map_obj, images_path, out_dir, K, dist,
             und = cv2.remap(bgr, maps[0], maps[1], cv2.INTER_LINEAR)
         else:
             und = bgr
-        cv2.imwrite(str(dst), und)
+        if cv2.imwrite(str(dst), und):
+            written.append((img_id, dst.name))
+        elif log:
+            log(f"[openmvs] failed to write {dst}, archive will reference the original")
     return written
 
 

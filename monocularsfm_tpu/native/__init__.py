@@ -64,19 +64,6 @@ def get_lib():
         p_i32, p_i64, p_i32,
     ]
     lib.triangulation_tracks.restype = i64
-    lib.completion_candidates.argtypes = [
-        p_i32, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64, i64, i64,
-        p_i32, p_i32, p_i32, ctypes.c_int32,
-    ]
-    lib.completion_candidates.restype = i64
-    lib.count_registered_correspondences.argtypes = [
-        i64, i64, p_i64, p_i32, p_i32, p_u8,
-    ]
-    lib.count_registered_correspondences.restype = i64
-    lib.find_merge_partner.argtypes = [
-        p_i32, i64, p_i64, p_i32, p_i32, p_i64, p_u8, i64,
-    ]
-    lib.find_merge_partner.restype = i64
     lib.find_merge_partners_batch.argtypes = [
         p_i32, p_i64, i64, p_i64, p_i64, p_i32, p_i32, p_i64, p_u8, p_i64,
     ]

@@ -122,55 +122,12 @@ int64_t triangulation_tracks(int64_t node_base, int64_t num_kpts,
   return num_tracks;
 }
 
-// Transitive completion candidates: BFS outward from a point's track nodes
-// through the correspondence graph, up to max_depth hops, collecting
-// unassigned nodes in registered images (the geometric accept test happens
-// on the caller side / device).  visited-set is a byte map over nodes.
-// Returns number of candidate nodes written.
-// visited_epoch is a caller-owned int32[num_nodes] scratch; a node counts as
-// visited when visited_epoch[node] == epoch.  The caller bumps `epoch` per
-// call — no O(num_nodes) clears anywhere (a fresh byte-map per point cost
-// ~2 MB of memset per call at NEU scale, which dominated everything).
-int64_t completion_candidates(const int32_t* track_nodes, int64_t track_len,
-                              const int64_t* indptr, const int32_t* adj_node,
-                              const int32_t* node_image, const int64_t* p3d,
-                              const uint8_t* registered,
-                              int64_t num_nodes, int64_t max_depth,
-                              int64_t capacity,
-                              int32_t* out_nodes, int32_t* out_depth,
-                              int32_t* visited_epoch, int32_t epoch) {
-  (void)num_nodes;
-  std::vector<int32_t> frontier(track_nodes, track_nodes + track_len);
-  for (int64_t i = 0; i < track_len; ++i) visited_epoch[track_nodes[i]] = epoch;
-  int64_t count = 0;
-  for (int64_t depth = 1; depth <= max_depth && !frontier.empty(); ++depth) {
-    std::vector<int32_t> next;
-    for (int32_t node : frontier) {
-      const int64_t s = indptr[node], e = indptr[node + 1];
-      for (int64_t j = s; j < e; ++j) {
-        const int32_t other = adj_node[j];
-        if (visited_epoch[other] == epoch) continue;
-        visited_epoch[other] = epoch;
-        if (!registered[node_image[other]]) continue;
-        if (p3d[other] >= 0) continue;
-        if (count < capacity) {
-          out_nodes[count] = other;
-          out_depth[count] = (int32_t)depth;
-          ++count;
-        }
-        next.push_back(other);
-      }
-    }
-    frontier.swap(next);
-  }
-  return count;
-}
-
 // Merge-partner search (reference Map::MergePoint3D candidate discovery,
 // Map.cpp:507-560): walk the correspondences of every node in a track and
 // return the first 3D point id different from `self_pid` assigned to a
-// correspondent in a registered image; -1 if none.
-int64_t find_merge_partner(const int32_t* track_nodes, int64_t track_len,
+// correspondent in a registered image; -1 if none.  Internal helper of the
+// batched entry point below (not exposed through ctypes).
+static int64_t find_merge_partner(const int32_t* track_nodes, int64_t track_len,
                            const int64_t* indptr, const int32_t* adj_node,
                            const int32_t* node_image, const int64_t* p3d,
                            const uint8_t* registered, int64_t self_pid) {
@@ -247,23 +204,6 @@ int64_t completion_candidates_batch(
     out_offsets[i + 1] = total < capacity ? total : capacity;
   }
   return total;
-}
-
-// Per-image correspondence statistics against the registered set
-// (scheduler support): number of adjacency entries whose other endpoint is
-// registered, for ranking candidate images.
-int64_t count_registered_correspondences(int64_t node_base, int64_t num_kpts,
-                                         const int64_t* indptr,
-                                         const int32_t* adj_node,
-                                         const int32_t* node_image,
-                                         const uint8_t* registered) {
-  int64_t count = 0;
-  const int64_t s = indptr[node_base];
-  const int64_t e = indptr[node_base + num_kpts];
-  for (int64_t j = s; j < e; ++j) {
-    if (registered[node_image[adj_node[j]]]) ++count;
-  }
-  return count;
 }
 
 }  // extern "C"

@@ -89,6 +89,16 @@ def quantize(desc: jnp.ndarray, mask: jnp.ndarray,
     )
 
 
+@functools.partial(jax.jit, static_argnames=("num_words",))
+def quantize_batch(bank: jnp.ndarray, mask: jnp.ndarray,
+                   vocab: jnp.ndarray, num_words: int) -> jnp.ndarray:
+    """Word histograms for a whole image bank (I, N, D) in ONE dispatch
+    (the per-image Python loop of quantize calls walled at 1000+ images)."""
+    return jax.vmap(
+        lambda d, m: quantize(d, m, vocab, num_words)
+    )(bank, mask)
+
+
 @jax.jit
 def tfidf_signatures(histograms: jnp.ndarray) -> jnp.ndarray:
     """TF-IDF weight + L2-normalise per-image word histograms (I, K)."""

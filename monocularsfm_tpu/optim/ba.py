@@ -178,6 +178,8 @@ def bundle_adjust(
     solve_mode: str = "dense",
     pcg_iters: int = 100,
     refine_focal: bool = False,
+    min_lm_diagonal: float = 1e-6,
+    max_lm_diagonal: float = 1e32,
 ) -> dict[str, Any]:
     """Single-device LM (jitted wrapper over the SPMD-capable impl)."""
     return bundle_adjust_impl(
@@ -191,6 +193,8 @@ def bundle_adjust(
         solve_mode=solve_mode,
         pcg_iters=pcg_iters,
         refine_focal=refine_focal,
+        min_lm_diagonal=min_lm_diagonal,
+        max_lm_diagonal=max_lm_diagonal,
         axis_name=None,
     )
 
@@ -206,6 +210,8 @@ def bundle_adjust_impl(
     solve_mode: str = "dense",
     pcg_iters: int = 100,
     refine_focal: bool = False,
+    min_lm_diagonal: float = 1e-6,
+    max_lm_diagonal: float = 1e32,
     axis_name: str | None = None,
 ) -> dict[str, Any]:
     """Run LM. Returns dict(R, t, X, cost_initial, cost_final, iterations,
@@ -373,9 +379,12 @@ def bundle_adjust_impl(
     eyeC6 = jnp.eye(6, dtype=jnp.float32)
 
     def damped_blocks(U, V, lam):
-        """Ceres-style diagonal damping with clamped diagonals."""
-        dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1), 1e-6, 1e32)
-        dV = jnp.clip(jnp.diagonal(V, axis1=-2, axis2=-1), 1e-6, 1e32)
+        """Ceres-style diagonal damping with clamped diagonals
+        (min/max_lm_diagonal, CeresBundleOptimizer solver options)."""
+        dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1),
+                      min_lm_diagonal, max_lm_diagonal)
+        dV = jnp.clip(jnp.diagonal(V, axis1=-2, axis2=-1),
+                      min_lm_diagonal, max_lm_diagonal)
         U_d = U + lam * dU[..., None] * eyeC6
         V_d = V + lam * dV[..., None] * jnp.eye(3, dtype=jnp.float32)
         # Pinned / invalid cameras get identity blocks -> zero step.
@@ -445,7 +454,7 @@ def bundle_adjust_impl(
             S_ff = U_ff - _ps(jnp.einsum(
                 "pij,pjk->ik", Wf_sum, VinvWfT, precision=_HIGHEST))  # (2, 2)
             # Damp the focal diagonal like every other block.
-            dff = jnp.clip(jnp.diagonal(S_ff), 1e-6, 1e32)
+            dff = jnp.clip(jnp.diagonal(S_ff), min_lm_diagonal, max_lm_diagonal)
             S_ff = S_ff + lam * dff * jnp.eye(2, dtype=jnp.float32)
             # Cam-focal coupling: U_cf - sum_{p, t} Y_pt (Wf_sum_p)^T.
             S_cf = U_cf - _ps(jax.ops.segment_sum(

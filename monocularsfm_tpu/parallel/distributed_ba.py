@@ -47,6 +47,21 @@ def _pad_points(prob: BundleProblem, multiple: int) -> BundleProblem:
     )
 
 
+def _to_global(arr, spec, mesh: Mesh):
+    """Host array -> global jax.Array for a (possibly multi-host) mesh.
+
+    Single-process meshes pass through; with jax.process_count() > 1 every
+    input must be a global array whose shards live on the right processes
+    (plain numpy would raise), so each process contributes its addressable
+    slices via make_array_from_callback.  Every process must hold the SAME
+    full host array (the deterministic problem build guarantees it)."""
+    if jax.process_count() == 1:
+        return arr
+    a = np.asarray(arr)
+    sh = jax.sharding.NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+
 def distributed_bundle_adjust(
     prob: BundleProblem,
     mesh: Mesh,
@@ -56,7 +71,11 @@ def distributed_bundle_adjust(
 ):
     """Run LM with the point/observation axis sharded over `mesh`.
 
-    Returns the same dict as bundle_adjust (X gathered back to full size).
+    Works on single-host meshes (ICI) and, after `init_multi_host`, on
+    meshes spanning processes over DCN — the 1-chip / 1-host / N-host
+    scaling axis of SURVEY.md section 5.  Returns the same dict as
+    bundle_adjust; X is gathered back to full size on single-host meshes
+    and stays point-sharded (padded to the mesh size) across processes.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
@@ -72,6 +91,20 @@ def distributed_bundle_adjust(
         point_valid=pt,
         obs_cam=pt, obs_uv=pt, obs_valid=pt,
     )
+    multi_host = jax.process_count() > 1
+    if multi_host:
+        prob = BundleProblem(
+            K=_to_global(prob.K, rep, mesh),
+            R=_to_global(prob.R, rep, mesh),
+            t=_to_global(prob.t, rep, mesh),
+            X=_to_global(prob.X, pt, mesh),
+            cam_valid=_to_global(prob.cam_valid, rep, mesh),
+            cam_const=_to_global(prob.cam_const, rep, mesh),
+            point_valid=_to_global(prob.point_valid, pt, mesh),
+            obs_cam=_to_global(prob.obs_cam, pt, mesh),
+            obs_uv=_to_global(prob.obs_uv, pt, mesh),
+            obs_valid=_to_global(prob.obs_valid, pt, mesh),
+        )
     out_specs = {
         "R": rep, "t": rep, "X": pt, "K": rep,
         "cost_initial": rep, "cost_final": rep, "iterations": rep,
@@ -94,5 +127,6 @@ def distributed_bundle_adjust(
         )
     )
     out = fn(prob)
-    out["X"] = out["X"][:orig_P]
+    if not multi_host:
+        out["X"] = out["X"][:orig_P]
     return out

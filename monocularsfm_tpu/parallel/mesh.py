@@ -35,6 +35,12 @@ def init_multi_host(coordinator_address: str | None = None,
     """
     import jax
 
+    # CPU meshes (tests / fake backends) need a cross-process collective
+    # implementation; gloo ships with jaxlib.  Harmless no-op on TPU.
+    try:
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    except Exception:
+        pass
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

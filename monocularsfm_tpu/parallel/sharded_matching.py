@@ -102,7 +102,8 @@ def ring_all_pairs_matching(
     K = min(max_matches, N)
 
     def compact(m):
-        """(N,) match map -> (K, 2) (i, j) rows, -1-padded, i ascending."""
+        """(N,) match map -> ((K, 2) (i, j) rows -1-padded i-ascending,
+        true match count before the K cap)."""
         valid = m >= 0
         iota = jnp.arange(N, dtype=jnp.int32)
         # Valid entries rank highest (and keep ascending-i order among
@@ -110,9 +111,10 @@ def ring_all_pairs_matching(
         score = jnp.where(valid, 2 * N - iota, N - iota)
         _, order = jax.lax.top_k(score, K)
         ok = valid[order]
-        return jnp.stack(
+        rows = jnp.stack(
             [jnp.where(ok, order, -1), jnp.where(ok, m[order], -1)], axis=-1
         )
+        return rows, jnp.sum(valid, dtype=jnp.int32)
 
     def one_step(desc, mask, rd, rm):
         """Match resident queries vs the arrived shard; forward the shard."""
@@ -126,16 +128,16 @@ def ring_all_pairs_matching(
 
             return jax.vmap(one_bank)(rd, rm)
 
-        out = jax.vmap(one_query)(desc, mask)  # (i_loc, i_loc, K, 2)
+        out, counts = jax.vmap(one_query)(desc, mask)  # (i_loc, i_loc, K, 2)
         rd = jax.lax.ppermute(rd, axis, fwd)
         rm = jax.lax.ppermute(rm, axis, fwd)
-        return rd, rm, out
+        return rd, rm, out, counts
 
     fn = jax.jit(
         jax.shard_map(
             one_step, mesh=mesh,
             in_specs=(P(axis), P(axis), P(axis), P(axis)),
-            out_specs=(P(axis), P(axis), P(axis)),
+            out_specs=(P(axis), P(axis), P(axis), P(axis)),
         )
     )
 
@@ -144,9 +146,18 @@ def ring_all_pairs_matching(
     mask = jnp.asarray(mask_bank)
     rd, rm = desc, mask
     result: dict[tuple[int, int], np.ndarray] = {}
+    truncated_pairs = 0
+    dropped_matches = 0
     for k in range(steps):
-        rd, rm, out = fn(desc, mask, rd, rm)
+        rd, rm, out, counts = fn(desc, mask, rd, rm)
         o = np.asarray(out)  # (I, i_loc, K, 2); row q matched shard (d-k)%n
+        cnt = np.asarray(counts)
+        over = cnt > K
+        if over.any():
+            # Only count real pairs once (diagonal shards / second visits
+            # are deduped below, but the cap warning is a conservative sum).
+            truncated_pairs += int(over.sum())
+            dropped_matches += int((cnt[over] - K).sum())
         # Vectorised extraction: global ids of every valid (q, b, slot).
         qg, bl, slot = np.nonzero(o[..., 0] >= 0)
         src = (qg // i_loc - k) % n
@@ -186,6 +197,14 @@ def ring_all_pairs_matching(
             key = (int(u // I), int(u % I))
             if key not in result:  # first visit wins (pair met in 2 steps)
                 result[key] = ij[s:e]
+    if truncated_pairs:
+        from monocularsfm_tpu.utils.caps import warn_cap
+
+        warn_cap(
+            "ring matcher: %d pair dispatches exceeded max_matches=%d "
+            "(%d matches dropped) — raise max_matches for dense pairs",
+            truncated_pairs, K, dropped_matches,
+        )
     return result
 
 

@@ -100,24 +100,40 @@ class Initializer:
         self._key, k = jax.random.split(self._key)
         return k
 
-    def _adaptive(self, run, sample_size: int, num_valid: int):
+    def _adaptive(self, run, sample_size: int, num_valid: int,
+                  max_rounds: int = 4):
         """Re-dispatch identically-shaped hypothesis rounds until the classic
         RANSAC termination bound meets `ransac_confidence` (the adaptive
         iteration count of cv::findHomography/findFundamentalMat, inverted
         into adaptive *continuation* for batch hardware).  Keeps the best
         round by inlier count."""
-        from monocularsfm_tpu.estimators import rounds_to_confidence
+        from monocularsfm_tpu.estimators import (
+            num_ransac_iterations, rounds_to_confidence,
+        )
 
         out = run(self._next_key())
         rounds = 1
         while rounds < rounds_to_confidence(
             self.cfg.ransac_confidence, int(out["num_inliers"]), num_valid,
-            sample_size, self.cfg.ransac_iterations,
+            sample_size, self.cfg.ransac_iterations, max_rounds=max_rounds,
         ):
             out2 = run(self._next_key())
             if int(out2["num_inliers"]) > int(out["num_inliers"]):
                 out = out2
             rounds += 1
+        need = num_ransac_iterations(
+            self.cfg.ransac_confidence,
+            int(out["num_inliers"]) / max(num_valid, 1), sample_size,
+        )
+        if need > rounds * self.cfg.ransac_iterations:
+            from monocularsfm_tpu.utils.caps import warn_cap
+
+            warn_cap(
+                "initializer RANSAC stopped at max_rounds=%d (%d hypotheses) "
+                "with the %.4f confidence bound unmet (needs %d)",
+                max_rounds, rounds * self.cfg.ransac_iterations,
+                self.cfg.ransac_confidence, need,
+            )
         return out
 
     def initialize(self, uv1: np.ndarray, uv2: np.ndarray):

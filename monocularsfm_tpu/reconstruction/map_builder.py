@@ -246,11 +246,16 @@ class MapBuilder:
             # The reference runs the same 100-iteration optimizer for local
             # and global bundles (MapBuilder.cpp:576-609); function_tolerance
             # exits early on converged local windows.
+            bcfg = self.cfg.bundle
             out = bundle_adjust(
                 prob,
-                max_iterations=self.cfg.bundle.max_iterations,
-                function_tolerance=self.cfg.bundle.function_tolerance,
-                gradient_tolerance=self.cfg.bundle.gradient_tolerance,
+                max_iterations=bcfg.max_iterations,
+                function_tolerance=bcfg.function_tolerance,
+                parameter_tolerance=bcfg.parameter_tolerance,
+                gradient_tolerance=bcfg.gradient_tolerance,
+                initial_radius=bcfg.initial_trust_radius,
+                min_lm_diagonal=bcfg.min_lm_diagonal,
+                max_lm_diagonal=bcfg.max_lm_diagonal,
             )
             self.map.update_from_ba(out, image_ids, pids)
             return out
@@ -281,7 +286,11 @@ class MapBuilder:
                     bcfg.function_tolerance * 1e-2 if small
                     else bcfg.function_tolerance
                 ),
+                parameter_tolerance=bcfg.parameter_tolerance,
                 gradient_tolerance=bcfg.gradient_tolerance,
+                initial_radius=bcfg.initial_trust_radius,
+                min_lm_diagonal=bcfg.min_lm_diagonal,
+                max_lm_diagonal=bcfg.max_lm_diagonal,
                 solve_mode="dense" if dense else "pcg",
                 pcg_iters=bcfg.pcg_iterations,
             )

@@ -120,37 +120,42 @@ class Map:
         )
 
     def attach_scene_graph(self, scene_graph, use_native: bool = True):
-        """Attach the correspondence graph and set up native-core mirrors."""
-        self.scene_graph = scene_graph
-        if use_native and getattr(scene_graph, "num_nodes", None):
-            from monocularsfm_tpu import native
+        """Attach the correspondence graph and set up the flat node mirrors.
 
-            if native.available():
-                self._native = native.get_lib()
-                self._node_p3d = np.full(scene_graph.num_nodes, -1, np.int64)
-                self._registered_rows = np.zeros(
-                    len(scene_graph.image_ids), np.uint8
-                )
-                # Node-level undistorted-uv table (keypoints never move, so
-                # this is built once): turns per-candidate Python lookups in
-                # the maintenance passes into pure array indexing.
-                self._node_uv = np.zeros((scene_graph.num_nodes, 2))
-                for img in scene_graph.image_ids:
-                    if img in self.images:
-                        base = scene_graph._node_offset[img]
-                        uv = self.images[img].uv
-                        n = min(len(uv), scene_graph.num_keypoints[img])
-                        self._node_uv[base : base + n] = uv[:n]
-                # Mirror any pre-existing state.
-                for image_id, im in self.images.items():
-                    if image_id in scene_graph._node_offset:
-                        base = scene_graph._node_offset[image_id]
-                        n = min(len(im.point3D), scene_graph.num_keypoints[image_id])
-                        self._node_p3d[base : base + n] = im.point3D[:n]
-                for image_id in self.registered_ids:
-                    row = scene_graph._row_of.get(image_id)
-                    if row is not None:
-                        self._registered_rows[row] = 1
+        The mirrors (`_node_p3d` / `_node_uv` / `_registered_rows`) are pure
+        numpy and always built — they back the vectorised track-error,
+        filter and statistics passes even without the C++ core; `use_native`
+        only gates the ctypes graph walks."""
+        self.scene_graph = scene_graph
+        if getattr(scene_graph, "num_nodes", None):
+            if use_native:
+                from monocularsfm_tpu import native
+
+                self._native = native.get_lib() if native.available() else None
+            self._node_p3d = np.full(scene_graph.num_nodes, -1, np.int64)
+            self._registered_rows = np.zeros(
+                len(scene_graph.image_ids), np.uint8
+            )
+            # Node-level undistorted-uv table (keypoints never move, so
+            # this is built once): turns per-candidate Python lookups in
+            # the maintenance passes into pure array indexing.
+            self._node_uv = np.zeros((scene_graph.num_nodes, 2))
+            for img in scene_graph.image_ids:
+                if img in self.images:
+                    base = scene_graph._node_offset[img]
+                    uv = self.images[img].uv
+                    n = min(len(uv), scene_graph.num_keypoints[img])
+                    self._node_uv[base : base + n] = uv[:n]
+            # Mirror any pre-existing state.
+            for image_id, im in self.images.items():
+                if image_id in scene_graph._node_offset:
+                    base = scene_graph._node_offset[image_id]
+                    n = min(len(im.point3D), scene_graph.num_keypoints[image_id])
+                    self._node_p3d[base : base + n] = im.point3D[:n]
+            for image_id in self.registered_ids:
+                row = scene_graph._row_of.get(image_id)
+                if row is not None:
+                    self._registered_rows[row] = 1
 
     def _mirror_p3d(self, image_id: int, kpt: int, pid: int):
         if self._node_p3d is not None:
@@ -374,17 +379,28 @@ class Map:
             rows = g._node_image_row
             offs = g._offset_of_row
             ids = g.image_ids
+            capped = 0
             for i in range(n):
                 tr_nodes = nodes[offsets[i] : offsets[i + 1]]
                 track = [
                     (ids[rows[nd]], int(nd - offs[rows[nd]])) for nd in tr_nodes
                 ]
+                capped += len(track) >= max_track
                 out.append((int(seed[i]), track))
+            if capped:
+                from monocularsfm_tpu.utils.caps import warn_cap
+
+                warn_cap(
+                    "triangulation feed for image %d: %d/%d tracks hit the "
+                    "max_track=%d cap (correspondents beyond the cap dropped)",
+                    image_id, capped, n, max_track,
+                )
             return out
         g = self.scene_graph
         ptr, adj_img, adj_kpt = g.correspondences_of_image(image_id)
         base = g._node_offset[image_id]
         out = []
+        capped = 0
         for k in range(len(ptr) - 1):
             if im.point3D[k] >= 0:
                 continue
@@ -405,7 +421,16 @@ class Map:
                 if len(track) >= max_track:
                     break
             if len(track) >= 2:
+                capped += len(track) >= max_track
                 out.append((k, track))
+        if capped:
+            from monocularsfm_tpu.utils.caps import warn_cap
+
+            warn_cap(
+                "triangulation feed for image %d: %d/%d tracks hit the "
+                "max_track=%d cap (correspondents beyond the cap dropped)",
+                image_id, capped, len(out), max_track,
+            )
         return out
 
     # -- track maintenance ---------------------------------------------------
@@ -428,20 +453,17 @@ class Map:
             self._merge_tables = (g, R_tab, t_tab)
             pending = [int(p) for p in point_ids]
             while pending:
-                cand = [p for p in pending if self._alive[p]]
+                cand_ids = [p for p in pending if self._alive[p]]
                 pending = []
-                if not cand:
+                if not cand_ids:
                     break
-                tracks = [self._node_track(p) for p in cand]
-                offsets = np.zeros(len(cand) + 1, np.int64)
-                offsets[1:] = np.cumsum([len(tr) for tr in tracks])
-                flat = (
-                    np.concatenate(tracks).astype(np.int32)
-                    if offsets[-1] else np.zeros(0, np.int32)
-                )
+                flat, offsets, cand = self._node_tracks_batch(cand_ids)
+                if not len(cand):
+                    break
                 partners = np.empty(len(cand), np.int64)
                 self._native.find_merge_partners_batch(
-                    flat, offsets, len(cand), np.asarray(cand, np.int64),
+                    flat, offsets, len(cand),
+                    np.ascontiguousarray(cand, np.int64),
                     g._indptr, g._adj_node, g._node_image_row,
                     self._node_p3d, self._registered_rows, partners,
                 )
@@ -589,6 +611,19 @@ class Map:
             np.int32,
         )
 
+    def _node_tracks_batch(self, pids):
+        """CSR of many tracks at once (flat nodes, offsets, point ids),
+        straight from the `_node_p3d` mirror — replaces the per-point
+        Python `_node_track` loop that walled maintenance at scale.
+        Point ids come back sorted ascending."""
+        nodes, opid = self._obs_table(pids)
+        order = np.argsort(opid, kind="stable")
+        nodes, opid = nodes[order], opid[order]
+        uniq, cnt = np.unique(opid, return_counts=True)
+        offsets = np.zeros(len(uniq) + 1, np.int64)
+        offsets[1:] = np.cumsum(cnt)
+        return np.ascontiguousarray(nodes, np.int32), offsets, uniq
+
     def _complete_points_native(self, point_ids, max_error_px, max_transitivity):
         """Native-BFS completion: ONE batched C++ call walks every point's
         candidates (CSR output), then one vectorised error test accepts them.
@@ -605,15 +640,9 @@ class Map:
         offs = g._offset_of_row
         ids_list = g.image_ids
         R_tab, t_tab = self._pose_row_tables()
-        alive = [int(p) for p in point_ids if self._alive[int(p)]]
-        tracks = [self._node_track(p) for p in alive]
-        alive = [p for p, tr in zip(alive, tracks) if len(tr)]
-        tracks = [tr for tr in tracks if len(tr)]
-        if not alive:
+        flat, track_off, alive = self._node_tracks_batch(point_ids)
+        if not len(alive):
             return 0
-        track_off = np.zeros(len(alive) + 1, np.int64)
-        track_off[1:] = np.cumsum([len(tr) for tr in tracks])
-        flat = np.concatenate(tracks).astype(np.int32)
         # Persistent epoch-stamped visited scratch (see the C++ comment: a
         # fresh byte-map per point would memset GBs per maintenance pass).
         if getattr(self, "_visited_epoch_buf", None) is None or len(
@@ -663,11 +692,52 @@ class Map:
                 completed += 1
         return completed
 
+    def _obs_table(self, pids=None):
+        """All observations of the given alive points as flat arrays.
+
+        Reads the `_node_p3d` mirror directly — no per-track Python walk
+        (Map.cpp:1210-1319 / :804-917 replacement path; at NEU scale the
+        list-building version cost minutes per global BA).  Returns
+        (nodes (O,), pid (O,)); requires an attached scene graph."""
+        nodes = np.flatnonzero(self._node_p3d >= 0)
+        pid_of = self._node_p3d[nodes]
+        if pids is None:
+            keep = self._alive[pid_of]
+        else:
+            sel = np.zeros(max(self._next_id, 1), bool)
+            ids = np.asarray(pids, np.int64)
+            if len(ids):
+                sel[ids[self._alive[ids]]] = True
+            keep = sel[pid_of]
+        return nodes[keep], pid_of[keep]
+
     def _batch_track_errors(self, pids):
         """Vectorised reprojection errors for many tracks at once.
 
         Returns (obs_pid (O,), obs_img (O,), obs_kpt (O,), err (O,)) over all
         observations of all (alive) given points."""
+        if self._node_p3d is not None:
+            nodes, obs_pid = self._obs_table(pids)
+            if not len(nodes):
+                z = np.zeros(0, np.int64)
+                return z, z, z, np.zeros(0)
+            g = self.scene_graph
+            rows = g._node_image_row[nodes]
+            R_tab, t_tab = self._pose_row_tables()
+            xc = (
+                np.einsum("oij,oj->oi", R_tab[rows], self._xyz[obs_pid])
+                + t_tab[rows]
+            )
+            z = np.where(np.abs(xc[:, 2]) < 1e-9, 1e-9, xc[:, 2])
+            u = self.K[0, 0] * xc[:, 0] / z + self.K[0, 2]
+            v = self.K[1, 1] * xc[:, 1] / z + self.K[1, 2]
+            uv = self._node_uv[nodes]
+            err = np.hypot(u - uv[:, 0], v - uv[:, 1])
+            err = np.where(xc[:, 2] <= 0, 1e12, err)
+            obs_img = g._image_ids_arr[rows]
+            obs_kpt = nodes - g._offset_of_row[rows]
+            return obs_pid, obs_img, obs_kpt, err
+        # Fallback (no scene graph attached): per-track Python walk.
         obs_pid, obs_img, obs_kpt = [], [], []
         for pid in pids:
             pid = int(pid)
@@ -728,38 +798,76 @@ class Map:
             if (int(obs_img[o]), int(obs_kpt[o])) in self._tracks[pid]:
                 self.remove_observation(pid, int(obs_img[o]), int(obs_kpt[o]))
                 removed += 1
-        # Parallax pass, vectorised over padded camera-center tables.
+        # Parallax pass (small-angle filter, Map.cpp:875-917).
         alive = [int(p) for p in point_ids if self._alive[int(p)]]
         if not alive:
             return removed
-        Tm = max(len(self._tracks[p]) for p in alive)
-        n = len(alive)
-        centers = np.zeros((n, Tm, 3))
-        valid = np.zeros((n, Tm), bool)
-        cache: dict[int, np.ndarray] = {}
-        for r_i, pid in enumerate(alive):
-            for s, (image_id, _) in enumerate(self._tracks[pid][:Tm]):
-                Cc = cache.get(image_id)
-                if Cc is None:
-                    im = self.images[image_id]
-                    Cc = -im.R.T @ im.t
-                    cache[image_id] = Cc
-                centers[r_i, s] = Cc
-                valid[r_i, s] = True
-        X = self._xyz[alive][:, None, :]
-        d = centers - X
-        nd = d / np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-        cos = np.clip(np.einsum("nti,nsi->nts", nd, nd), -1, 1)
-        ang = np.degrees(np.arccos(cos))
-        ang = np.where(ang > 90, 180 - ang, ang)
-        pair_ok = valid[:, :, None] & valid[:, None, :]
-        ang = np.where(pair_ok & ~np.eye(Tm, dtype=bool)[None], ang, 0.0)
-        has_angle = ang.max(axis=(1, 2)) >= min_tri_angle_deg
-        for r_i, pid in enumerate(alive):
-            if not has_angle[r_i] and self._alive[pid]:
+        if self._node_p3d is not None:
+            alive_arr, has_angle = self._batch_parallax_ok(
+                alive, min_tri_angle_deg
+            )
+        else:
+            alive_arr = np.asarray(alive, np.int64)
+            has_angle = np.array([
+                self.track_parallax_ok(int(p), min_tri_angle_deg)
+                for p in alive_arr
+            ], bool) if len(alive_arr) else np.zeros(0, bool)
+        for pid in alive_arr[~has_angle]:
+            pid = int(pid)
+            if self._alive[pid]:
                 removed += len(self._tracks[pid])
                 self.delete_point3d(pid)
         return removed
+
+    def _batch_parallax_ok(self, pids, min_angle_deg: float):
+        """Max-pairwise-parallax test for many points, fully vectorised.
+
+        Tracks are bucketed by pow2 length and scattered into padded
+        (n, T, 3) direction tensors, so the O(len^2) pair test never pads to
+        the global longest track.  Returns (pids (N,), ok (N,) bool)."""
+        g = self.scene_graph
+        nodes, opid = self._obs_table(pids)
+        order = np.argsort(opid, kind="stable")
+        nodes, opid = nodes[order], opid[order]
+        uniq, inv, cnt = np.unique(opid, return_inverse=True,
+                                   return_counts=True)
+        if not len(uniq):
+            return uniq, np.zeros(0, bool)
+        R_tab, t_tab = self._pose_row_tables()
+        C_tab = -np.einsum("nji,nj->ni", R_tab, t_tab)  # camera centers
+        rows = g._node_image_row[nodes]
+        d = C_tab[rows] - self._xyz[opid]
+        nd = d / np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        occ = np.arange(len(opid)) - starts[inv]
+        cos_thresh = np.cos(np.radians(min_angle_deg))
+        ok = np.zeros(len(uniq), bool)
+        max_len = int(cnt.max())
+        Tb = 2
+        while Tb // 2 < max_len:
+            sel = (cnt > max(Tb // 2, 1)) & (cnt <= Tb)
+            if sel.any():
+                comp = np.cumsum(sel) - 1           # compact row per point
+                om = sel[inv]                        # obs in this bucket
+                r_i = comp[inv[om]]
+                nb = int(sel.sum())
+                dirs = np.zeros((nb, Tb, 3))
+                valid = np.zeros((nb, Tb), bool)
+                dirs[r_i, occ[om]] = nd[om]
+                valid[r_i, occ[om]] = True
+                cosm = np.clip(
+                    np.einsum("nti,nsi->nts", dirs, dirs), -1.0, 1.0
+                )
+                # Angle folded to <= 90 deg (track_parallax_ok semantics):
+                # folded angle >= min_angle  <=>  |cos| <= cos(min_angle).
+                pair = (
+                    valid[:, :, None] & valid[:, None, :]
+                    & ~np.eye(Tb, dtype=bool)[None]
+                )
+                wide = pair & (np.abs(cosm) <= cos_thresh)
+                ok[sel] = wide.any(axis=(1, 2))
+            Tb *= 2
+        return uniq, ok
 
     # -- BA bridge -----------------------------------------------------------
     def _ba_problem_from(self, image_ids: list[int], const_ids: set[int],

@@ -68,16 +68,32 @@ class Registrant:
         # holds for the best model seen (cv::solvePnPRansac's adaptive
         # termination, inverted for batch hardware).
         sample_size = 5 if cfg.pnp_method == "epnp" else 6
+        max_rounds = 4
         out = run_round()
         rounds = 1
         while rounds < rounds_to_confidence(
             cfg.ransac_confidence, int(out["num_inliers"]), n,
-            sample_size, cfg.ransac_iterations,
+            sample_size, cfg.ransac_iterations, max_rounds=max_rounds,
         ):
             out2 = run_round()
             if int(out2["num_inliers"]) > int(out["num_inliers"]):
                 out = out2
             rounds += 1
+        from monocularsfm_tpu.estimators import num_ransac_iterations
+
+        need = num_ransac_iterations(
+            cfg.ransac_confidence, int(out["num_inliers"]) / max(n, 1),
+            sample_size,
+        )
+        if need > rounds * cfg.ransac_iterations:
+            from monocularsfm_tpu.utils.caps import warn_cap
+
+            warn_cap(
+                "PnP RANSAC stopped at max_rounds=%d (%d hypotheses) with "
+                "the %.4f confidence bound unmet (needs %d)",
+                max_rounds, rounds * cfg.ransac_iterations,
+                cfg.ransac_confidence, need,
+            )
         stats.num_inliers = int(out["num_inliers"])
         stats.ave_residual = float(out["mean_inlier_error_px"])
         if stats.num_inliers < cfg.abs_pose_min_num_inliers:

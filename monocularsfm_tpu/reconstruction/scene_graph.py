@@ -34,6 +34,13 @@ class SceneGraph:
         # Nodes that appear in exactly one pair (two-view observations).
         self._two_view: np.ndarray | None = None
 
+    @staticmethod
+    def _native_lib():
+        """The C++ core (scene_graph_core.cpp build_csr) or None."""
+        from monocularsfm_tpu import native
+
+        return native.get_lib() if native.available() else None
+
     # -- construction ------------------------------------------------------
     def load(self, matches: dict[tuple[int, int], np.ndarray],
              num_keypoints: dict[int, int], min_num_matches: int = 10,
@@ -61,46 +68,10 @@ class SceneGraph:
             offset += self.num_keypoints[i]
         num_nodes = offset
 
-        counts = np.zeros(num_nodes + 1, np.int64)
-        for (i, j), m in kept.items():
-            oi, oj = self._node_offset[i], self._node_offset[j]
-            np.add.at(counts, oi + m[:, 0] + 1, 1)
-            np.add.at(counts, oj + m[:, 1] + 1, 1)
-        indptr = np.cumsum(counts)
-        adj_image = np.zeros(indptr[-1], np.int32)
-        adj_kpt = np.zeros(indptr[-1], np.int32)
-        cursor = indptr[:-1].copy()
-        for (i, j), m in kept.items():
-            oi, oj = self._node_offset[i], self._node_offset[j]
-            pos_i = cursor[oi + m[:, 0]]
-            adj_image[pos_i] = j
-            adj_kpt[pos_i] = m[:, 1]
-            cursor[oi + m[:, 0]] += 1
-            pos_j = cursor[oj + m[:, 1]]
-            adj_image[pos_j] = i
-            adj_kpt[pos_j] = m[:, 0]
-            cursor[oj + m[:, 1]] += 1
-        self._indptr = indptr
-        self._adj_image = adj_image
-        self._adj_kpt = adj_kpt
-        degree = np.diff(indptr)
-        self._two_view = degree == 1
-
-        # Flat-node views for the native (C++) correspondence walks:
-        # adj entries as flat node ids + a node -> image-row lookup.
         self._row_of = {img: r for r, img in enumerate(self.image_ids)}
         offset_of_row = np.array(
             [self._node_offset[i] for i in self.image_ids], np.int64
         )
-        if len(adj_image):
-            max_id = max(self.image_ids)
-            id_to_row = np.zeros(max_id + 1, np.int64)
-            for img, r in self._row_of.items():
-                id_to_row[img] = r
-            adj_row = id_to_row[adj_image]
-            self._adj_node = (offset_of_row[adj_row] + adj_kpt).astype(np.int32)
-        else:
-            self._adj_node = np.zeros(0, np.int32)
         counts_per_img = np.array(
             [self.num_keypoints[i] for i in self.image_ids], np.int64
         )
@@ -108,6 +79,52 @@ class SceneGraph:
             np.arange(len(self.image_ids), dtype=np.int32), counts_per_img
         )
         self._offset_of_row = offset_of_row
+        self._image_ids_arr = np.asarray(self.image_ids, np.int64)
+
+        # Flat-node edge list, assembled once (vectorised per pair — the
+        # only per-pair Python is list building; no np.add.at per pair).
+        ea_parts, eb_parts = [], []
+        for (i, j), m in kept.items():
+            ea_parts.append(self._node_offset[i] + m[:, 0])
+            eb_parts.append(self._node_offset[j] + m[:, 1])
+        ea = (
+            np.concatenate(ea_parts).astype(np.int32)
+            if ea_parts else np.zeros(0, np.int32)
+        )
+        eb = (
+            np.concatenate(eb_parts).astype(np.int32)
+            if eb_parts else np.zeros(0, np.int32)
+        )
+        num_edges = len(ea)
+        indptr = np.zeros(num_nodes + 1, np.int64)
+        adj_node = np.zeros(2 * num_edges, np.int32)
+        lib = self._native_lib()
+        if lib is not None and num_edges:
+            lib.build_csr(num_nodes, num_edges, np.ascontiguousarray(ea),
+                          np.ascontiguousarray(eb), indptr, adj_node)
+        elif num_edges:
+            # NumPy counting sort with the same per-edge (a, b) interleaving
+            # as the native build — byte-identical adjacency either way.
+            src = np.empty(2 * num_edges, np.int64)
+            dst = np.empty(2 * num_edges, np.int32)
+            src[0::2], src[1::2] = ea, eb
+            dst[0::2], dst[1::2] = eb, ea
+            indptr[1:] = np.cumsum(np.bincount(src, minlength=num_nodes))
+            adj_node = dst[np.argsort(src, kind="stable")]
+        self._indptr = indptr
+        self._adj_node = np.ascontiguousarray(adj_node)
+        # Image-id / keypoint views of the adjacency (query convenience).
+        if num_edges:
+            adj_row = self._node_image_row[self._adj_node]
+            self._adj_image = self._image_ids_arr[adj_row].astype(np.int32)
+            self._adj_kpt = (
+                self._adj_node - offset_of_row[adj_row]
+            ).astype(np.int32)
+        else:
+            self._adj_image = np.zeros(0, np.int32)
+            self._adj_kpt = np.zeros(0, np.int32)
+        degree = np.diff(indptr)
+        self._two_view = degree == 1
         self.num_nodes = num_nodes
 
         # Per-node "provably two-view observation" flag (SceneGraph.cpp
