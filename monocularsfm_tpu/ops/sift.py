@@ -53,6 +53,22 @@ DESC_SCL_FCTR = 3.0       # cell size = 3 * sigma
 DESC_MAG_THR = 0.2
 
 
+def _top_k_large(x: jnp.ndarray, k: int):
+    """top_k that survives the TPU compiler on very long rows.
+
+    XLA:TPU's exact top-k emitter (jellyfish TopkEmitter, windowed-R2 path)
+    check-fails on multi-megapixel rows (observed at 14.7M elements, k=4096,
+    v5e).  On TPU we route long rows through `lax.approx_max_k`
+    (recall_target 0.99 — the candidate sets here are score arrays where a
+    <1% recall loss only perturbs which of the weakest candidates make the
+    fixed budget); short rows and non-TPU backends keep exact `lax.top_k`
+    (CPU tests are bit-exact).
+    """
+    if x.shape[-1] <= 16384 or jax.default_backend() != "tpu":
+        return jax.lax.top_k(x, k)
+    return jax.lax.approx_max_k(x, k, recall_target=0.99)
+
+
 def gaussian_kernel1d(sigma: float) -> np.ndarray:
     radius = max(int(math.ceil(3.0 * sigma)), 1)
     x = np.arange(-radius, radius + 1, dtype=np.float64)
@@ -207,7 +223,8 @@ def _detect_octave(gauss: jnp.ndarray, K: int, contrast_thr: float = CONTRAST_TH
     resp = jnp.where(is_ext & inside, jnp.abs(center), 0.0)
 
     flat = resp.reshape(-1)
-    vals, idx = jax.lax.top_k(flat, K)
+    vals, idx = _top_k_large(flat[None], K)
+    vals, idx = vals[0], idx[0]
     scale_i = idx // (H * W) + 1            # dog scale index 1..N_SCALES
     rem = idx % (H * W)
     yi = rem // W
@@ -442,7 +459,7 @@ def _select_top_features(kp, desc, valid, num_features: int,
     exactly one device->host transfer per batch."""
     score = jnp.where(valid, kp[..., 2], -1.0)
     n = min(num_features, score.shape[1])
-    vals, idx = jax.lax.top_k(score, n)                     # (B, n)
+    vals, idx = _top_k_large(score, n)                      # (B, n)
     kp_s = jnp.take_along_axis(kp, idx[..., None], axis=1)
     desc_s = jnp.take_along_axis(desc, idx[..., None], axis=1)
     val_s = vals > 0.0

@@ -163,6 +163,140 @@ def render_textured_images(
     return np.stack(images), K, np.stack(Rs), np.stack(ts)
 
 
+def _make_texture(rng, res: int, octaves=((9, 31), (5, 13), (3, 5), (1.5, 2))):
+    """Smoothed multi-octave noise texture — SIFT-friendly blobs at several
+    scales plus a fine-grain component so corners survive downsampling."""
+    tex = np.zeros((res, res), dtype=np.float64)
+    try:
+        import cv2
+
+        for amp, sigma in octaves:
+            n = rng.uniform(0, 1, size=(res, res))
+            tex += cv2.GaussianBlur(n, (0, 0), sigma) * amp
+    except Exception:
+        tex = rng.uniform(0, 1, size=(res, res))
+    tex -= tex.min()
+    return (255 * tex / max(tex.max(), 1e-9)).astype(np.uint8)
+
+
+def render_multiplane_images(
+    scene_seed: int = 0,
+    num_cameras: int = 128,
+    width: int = 1280,
+    height: int = 960,
+    focal: float = 1100.0,
+    texture_res: int = 1024,
+    radius: float = 7.0,
+    arc_deg: float = 200.0,
+    num_facets: int = 10,
+):
+    """Render a NON-planar textured scene from a camera arc (at-scale e2e).
+
+    The single-plane renderer above is fine for smoke tests but a planar
+    scene is degenerate for F-matrix pipelines; this one ray-casts each pixel
+    against a *set* of textured rectangles at varied depths/orientations — a
+    backdrop, a ground slab, and `num_facets` random facets — so two-view
+    geometry, triangulation parallax and the scene graph are honestly
+    stressed at reference scale (VERDICT round-2 item #1; reference datasets:
+    /root/reference/README.md:69-72).
+
+    Returns (images uint8 [C,H,W], K, R, t) with exact world->camera poses.
+    """
+    rng = np.random.default_rng(scene_seed)
+    K = np.array([[focal, 0, width / 2], [0, focal, height / 2], [0, 0, 1]],
+                 dtype=np.float64)
+    Kinv = np.linalg.inv(K)
+
+    # Each plane: origin O, in-plane unit axes U,V, half-extents (hu, hv),
+    # unit normal N, own texture.
+    planes = []
+
+    def add_plane(O, U, V, hu, hv, tex):
+        U = U / np.linalg.norm(U)
+        V = V - U * (V @ U)
+        V = V / np.linalg.norm(V)
+        N = np.cross(U, V)
+        planes.append((np.asarray(O, float), U, V, float(hu), float(hv), N, tex))
+
+    # Backdrop: large plane behind the origin (cameras sit around z<0..arc).
+    add_plane([0, 0, 2.5], [1, 0, 0], [0, 1, 0], 6.0, 3.0,
+              _make_texture(rng, texture_res))
+    # Ground slab (y points down in camera frames; +y is "below").
+    add_plane([0, 1.6, 0.0], [1, 0, 0], [0, 0, 1], 6.0, 4.0,
+              _make_texture(rng, texture_res))
+    # Random facets: positions in a box around the origin, random tilts.
+    for _ in range(num_facets):
+        O = rng.uniform([-3.5, -1.2, -1.0], [3.5, 1.2, 2.0])
+        # Normal roughly facing outward (toward cameras, -z hemisphere) with tilt.
+        n = rng.normal(size=3) * np.array([0.6, 0.6, 1.0])
+        n[2] = -abs(n[2]) - 0.3
+        n /= np.linalg.norm(n)
+        # Build in-plane axes orthogonal to n.
+        a = np.array([1.0, 0.0, 0.0])
+        if abs(n @ a) > 0.9:
+            a = np.array([0.0, 1.0, 0.0])
+        U = np.cross(a, n)
+        V = np.cross(n, U)
+        hu = rng.uniform(0.7, 1.6)
+        hv = rng.uniform(0.5, 1.2)
+        add_plane(O, U, V, hu, hv, _make_texture(rng, texture_res))
+
+    angles = np.deg2rad(np.linspace(-arc_deg / 2, arc_deg / 2, num_cameras))
+    images, Rs, ts = [], [], []
+    ys, xs = np.mgrid[0:height, 0:width]
+    pix = np.stack([xs.ravel(), ys.ravel(), np.ones(xs.size)], axis=0)
+    ray_cam = Kinv @ pix  # (3, H*W), camera-frame ray dirs (shared)
+    for idx, a in enumerate(angles):
+        # Slight radius/height jitter -> genuine translation between frames.
+        r = radius * (1.0 + 0.04 * np.sin(3.1 * a) + 0.01 * rng.standard_normal())
+        C = np.array([r * np.sin(a), 0.45 * np.sin(2 * a) - 0.15, -r * np.cos(a)])
+        look = np.array([0.35 * np.sin(1.7 * a), 0.1 * np.sin(a), 0.4])
+        z = look - C
+        z = z / np.linalg.norm(z)
+        up = np.array([0.0, -1.0, 0.0])
+        x = np.cross(up, z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        Rwc = np.stack([x, y, z], axis=0)
+        t = -Rwc @ C
+        d = Rwc.T @ ray_cam  # world-frame ray dirs (3, H*W)
+
+        best_s = np.full(xs.size, np.inf)
+        best_val = np.full(xs.size, 12.0)
+        for O, U, V, hu, hv, N, tex in planes:
+            dn = d.T @ N
+            dn = np.where(np.abs(dn) < 1e-9, 1e-9, dn)
+            s = ((O - C) @ N) / dn
+            P = C[:, None] + s[None, :] * d  # (3, H*W)
+            rel = P - O[:, None]
+            u = U @ rel
+            v = V @ rel
+            hit = (s > 0.2) & (np.abs(u) <= hu) & (np.abs(v) <= hv) & (s < best_s)
+            if not hit.any():
+                continue
+            tres = tex.shape[0]
+            txc = (u / hu * 0.5 + 0.5) * (tres - 1)
+            tyc = (v / hv * 0.5 + 0.5) * (tres - 1)
+            txc = np.clip(txc, 0, tres - 1.001)
+            tyc = np.clip(tyc, 0, tres - 1.001)
+            x0 = txc.astype(np.int64)
+            y0 = tyc.astype(np.int64)
+            fx, fy = txc - x0, tyc - y0
+            val = (
+                tex[y0, x0] * (1 - fx) * (1 - fy)
+                + tex[y0, x0 + 1] * fx * (1 - fy)
+                + tex[y0 + 1, x0] * (1 - fx) * fy
+                + tex[y0 + 1, x0 + 1] * fx * fy
+            )
+            best_val = np.where(hit, val, best_val)
+            best_s = np.where(hit, s, best_s)
+        img = best_val.reshape(height, width).astype(np.uint8)
+        images.append(img)
+        Rs.append(Rwc)
+        ts.append(t)
+    return np.stack(images), K, np.stack(Rs), np.stack(ts)
+
+
 def similarity_align(src: np.ndarray, dst: np.ndarray):
     """Umeyama similarity alignment src->dst. Returns (s, R, t) and residual RMS.
 

@@ -10,7 +10,12 @@ the single-process solve.
 
 import json
 import os
+import pathlib
 import sys
+
+# Script mode puts tests/ (not the repo root) on sys.path; the package may
+# not be pip-installed, so add the repo root explicitly.
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 
 def main():

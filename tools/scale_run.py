@@ -1,0 +1,189 @@
+"""Reference-scale end-to-end benchmark driver.
+
+Renders a multi-plane synthetic collection (south-building scale: 128 images
+at 1-2 MP, /root/reference/README.md:72), runs the full `sfm pipeline`
+(extract -> match -> reconstruct -> export) with per-phase wall-clock, and
+evaluates against exact ground-truth poses.  Produces the per-phase summary
+table the reference prints at runtime (MapBuilder.cpp:245-280) plus
+registered%, 3D points, mean reprojection error and camera-center RMS after
+similarity alignment.
+
+Usage:
+  python tools/scale_run.py --data /root/scale_data/mp128 --label tpu
+  JAX_PLATFORMS=cpu python tools/scale_run.py --data ... --label cpu \
+      --backend opencv
+
+The dataset is rendered once and shared between runs; each label gets its own
+database/output so TPU and CPU runs are independent.  Results land in
+<data>/result_<label>.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def log(*a):
+    print(*a, flush=True)
+
+
+def render_dataset(data_dir: pathlib.Path, num_images: int, width: int,
+                   height: int, seed: int):
+    import cv2
+
+    img_dir = data_dir / "images"
+    gt_path = data_dir / "gt.npz"
+    done = gt_path.exists() and len(list(img_dir.glob("*.png"))) >= num_images
+    if done:
+        log(f"[render] dataset already present at {data_dir}")
+        return
+    from monocularsfm_tpu.utils.synthetic import render_multiplane_images
+
+    img_dir.mkdir(parents=True, exist_ok=True)
+    t0 = time.perf_counter()
+    # Render in chunks to bound host memory (128 x 1.2MP fits, but stay lean).
+    chunk = 16
+    K = R = t = None
+    Rs, ts = [], []
+    # Deterministic: a single call renders the full arc; chunking by camera
+    # range would change the arc spacing, so render all at once per seed.
+    images, K, R, t = render_multiplane_images(
+        scene_seed=seed, num_cameras=num_images, width=width, height=height)
+    for i in range(num_images):
+        cv2.imwrite(str(img_dir / f"frame{i:04d}.png"), images[i])
+    np.savez(gt_path, K=K, R=R, t=t)
+    log(f"[render] {num_images} images {width}x{height} in "
+        f"{time.perf_counter()-t0:.1f}s -> {img_dir}")
+
+
+def build_config(data_dir: pathlib.Path, label: str, backend: str,
+                 overlap: int, num_features: int):
+    from monocularsfm_tpu.config import SfMConfig
+
+    gt = np.load(data_dir / "gt.npz")
+    K = gt["K"]
+    cfg = SfMConfig()
+    cfg.images_path = str(data_dir / "images")
+    cfg.database_path = str(data_dir / f"db_{label}.sqlite")
+    cfg.output_path = str(data_dir / f"out_{label}")
+    cfg.camera.fx = float(K[0, 0])
+    cfg.camera.fy = float(K[1, 1])
+    cfg.camera.cx = float(K[0, 2])
+    cfg.camera.cy = float(K[1, 2])
+    cfg.extraction.backend = backend
+    cfg.extraction.num_features = num_features
+    cfg.extraction.max_image_size = 3200
+    cfg.matching.match_type = "sequential"
+    cfg.matching.overlap = overlap
+    return cfg
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data", required=True)
+    ap.add_argument("--label", default="tpu")
+    ap.add_argument("--backend", default="jax", choices=["jax", "opencv"])
+    ap.add_argument("--num-images", type=int, default=128)
+    ap.add_argument("--width", type=int, default=1280)
+    ap.add_argument("--height", type=int, default=960)
+    ap.add_argument("--overlap", type=int, default=12)
+    ap.add_argument("--num-features", type=int, default=8024)
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--render-only", action="store_true")
+    ap.add_argument("--stage", default="all",
+                    choices=["all", "extract", "match", "reconstruct"])
+    args = ap.parse_args()
+
+    data_dir = pathlib.Path(args.data)
+    render_dataset(data_dir, args.num_images, args.width, args.height,
+                   args.seed)
+    if args.render_only:
+        return
+
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is None:
+        jax.config.update("jax_compilation_cache_dir",
+                          str(pathlib.Path.home() / ".cache" / "monocularsfm_tpu_xla"))
+
+    from monocularsfm_tpu import cli
+
+    cfg = build_config(data_dir, args.label, args.backend, args.overlap,
+                       args.num_features)
+    phases = {}
+
+    def timed(name, fn, *a, **kw):
+        t0 = time.perf_counter()
+        out = fn(*a, **kw)
+        phases[name] = time.perf_counter() - t0
+        log(f"[phase] {name}: {phases[name]:.1f}s")
+        return out
+
+    builder = None
+    if args.stage in ("all", "extract"):
+        timed("extract", cli.cmd_extract, cfg, log=log)
+    if args.stage in ("all", "match"):
+        timed("match", cli.cmd_match, cfg, log=log)
+    if args.stage in ("all", "reconstruct"):
+        builder = timed("reconstruct", cli.cmd_reconstruct, cfg, log=log)
+
+    result = {
+        "label": args.label,
+        "backend": jax.default_backend(),
+        "extract_backend": args.backend,
+        "num_images": args.num_images,
+        "width": args.width,
+        "height": args.height,
+        "phases_s": {k: round(v, 2) for k, v in phases.items()},
+        "total_s": round(sum(phases.values()), 2),
+    }
+    if builder is not None:
+        st = builder.map.statistics()
+        result.update(
+            registered=st.num_registered_images,
+            points3D=st.num_points3D,
+            observations=st.num_observations,
+            mean_reproj_px=round(st.mean_reprojection_error, 5),
+            mean_track_length=round(st.mean_track_length, 3),
+            build_timers={k: round(t.elapsed, 2)
+                          for k, t in builder.timers.items()},
+        )
+        # Camera-center accuracy vs exact ground truth (gauge-aligned).
+        gt = np.load(data_dir / "gt.npz")
+        names_to_id = {builder.map.images[i].name: i
+                       for i in builder.map.registered_ids}
+        src, dst = [], []
+        for idx in range(args.num_images):
+            name = f"frame{idx:04d}.png"
+            if name not in names_to_id:
+                continue
+            im = builder.map.images[names_to_id[name]]
+            src.append(-im.R.T @ im.t)
+            dst.append(-gt["R"][idx].T @ gt["t"][idx])
+        if len(src) >= 3:
+            from monocularsfm_tpu.utils.synthetic import similarity_align
+
+            _, rms = similarity_align(np.asarray(src), np.asarray(dst))
+            scene_diag = float(np.linalg.norm(
+                np.ptp(np.asarray(dst), axis=0)))
+            result["camera_center_rms"] = round(rms, 5)
+            result["camera_center_rms_pct_of_scene"] = round(
+                100 * rms / max(scene_diag, 1e-9), 3)
+
+    out_path = data_dir / f"result_{args.label}.json"
+    out_path.write_text(json.dumps(result, indent=2))
+    log(json.dumps(result, indent=2))
+    log(f"[done] results -> {out_path}")
+
+
+if __name__ == "__main__":
+    main()
