@@ -18,6 +18,8 @@ work through the engines.
 from __future__ import annotations
 
 import dataclasses
+import json
+import os
 
 import numpy as np
 
@@ -294,6 +296,19 @@ class MapBuilder:
                 solve_mode="dense" if dense else "pcg",
                 pcg_iters=bcfg.pcg_iterations,
             )
+            # MONOSFM_DUMP_BA=path snapshots every global-BA problem to host
+            # numpy BEFORE the solve: a TPU worker crash makes the device
+            # arrays unreachable, so a post-mortem fetch cannot work.
+            dump = os.environ.get("MONOSFM_DUMP_BA")
+            if dump:
+                arrs = {
+                    f.name: np.asarray(getattr(prob, f.name))
+                    for f in dataclasses.fields(prob)
+                    if getattr(prob, f.name) is not None
+                }
+                np.savez(dump, **arrs, _kwargs=json.dumps(
+                    {k: v for k, v in kwargs.items()
+                     if isinstance(v, (int, float, str, bool))}))
             if mesh is not None:
                 from monocularsfm_tpu.parallel import distributed_bundle_adjust
 
