@@ -522,8 +522,15 @@ class SIFT:
         for o in range(num_octaves):
             gauss = _build_octave_batched(g)  # (B, S, H, W)
             h, w_ = g.shape[1:]
-            # Small octaves have fewer pixels than the candidate budget.
-            k_oct = min(self.k_per_octave, N_SCALES * h * w_)
+            # Candidate budget decays with the octave: real images put the
+            # overwhelming majority of surviving features in the first two
+            # octaves, and the per-slot orientation/descriptor gather cost is
+            # the extraction hot spot — full-width budgets at quarter
+            # resolution and below buy capacity that top-feature selection
+            # then discards.  Small octaves also have fewer pixels than the
+            # budget.
+            k_oct = max(self.k_per_octave >> max(0, o - 1), 256)
+            k_oct = min(k_oct, N_SCALES * h * w_)
             det = _detect_octave_batched(gauss, k_oct, self.contrast_threshold)
             angles, avalid, desc = _orient_describe_batched(gauss, det)
             kp_o, desc_o, val_o = _collect_octave(

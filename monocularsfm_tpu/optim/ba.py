@@ -163,13 +163,12 @@ def _cost(r):
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "max_iterations", "schur_chunk", "solve_mode", "pcg_iters",
-        "refine_focal",
+        "schur_chunk", "solve_mode", "pcg_iters", "refine_focal",
     ),
 )
-def bundle_adjust(
+def _bundle_adjust_segment(
     prob: BundleProblem,
-    max_iterations: int = 50,
+    max_iterations,
     function_tolerance: float = 1e-6,
     parameter_tolerance: float = 1e-8,
     gradient_tolerance: float = 1e-10,
@@ -180,8 +179,10 @@ def bundle_adjust(
     refine_focal: bool = False,
     min_lm_diagonal: float = 1e-6,
     max_lm_diagonal: float = 1e32,
+    init_state=None,
 ) -> dict[str, Any]:
-    """Single-device LM (jitted wrapper over the SPMD-capable impl)."""
+    """One jitted LM segment (max_iterations is a dynamic operand, so every
+    segment of a host-driven solve reuses the same compiled program)."""
     return bundle_adjust_impl(
         prob,
         max_iterations=max_iterations,
@@ -196,7 +197,67 @@ def bundle_adjust(
         min_lm_diagonal=min_lm_diagonal,
         max_lm_diagonal=max_lm_diagonal,
         axis_name=None,
+        init_state=init_state,
     )
+
+
+# Measured v5e per-LM-iteration seconds per (observation-capacity x CG iter)
+# for the flash-PCG path, and per observation-capacity for dense Schur.
+# Used only to BOUND single-dispatch wall time — the axon TPU worker enforces
+# a per-dispatch execution grant (~10 s; exceeding it kills the worker), and
+# bounded dispatches are good hygiene anyway (host-side convergence control,
+# progress logging, preemptibility — the Ceres iteration-callback shape).
+_PCG_SEC_PER_OBS_CG = 2.3e-8
+_DENSE_SEC_PER_OBS = 2.5e-7
+_DISPATCH_TARGET_SEC = 5.0
+
+
+def _auto_dispatch_iters(obs_capacity: int, solve_mode: str,
+                         pcg_iters: int) -> int:
+    if solve_mode == "pcg":
+        est = _PCG_SEC_PER_OBS_CG * obs_capacity * max(pcg_iters, 1)
+    else:
+        est = _DENSE_SEC_PER_OBS * obs_capacity
+    return max(1, int(_DISPATCH_TARGET_SEC / max(est, 1e-9)))
+
+
+def bundle_adjust(
+    prob: BundleProblem,
+    max_iterations: int = 50,
+    dispatch_iters: int | None = None,
+    **kwargs,
+) -> dict[str, Any]:
+    """Single-device LM, host-driven in bounded-wall-time dispatch segments.
+
+    The solver state (poses, points, trust radius, LM iteration counter)
+    stays on device between segments; the host only reads the convergence
+    flag.  `dispatch_iters` caps LM iterations per device dispatch (default:
+    auto from problem size so one dispatch stays ~4 s)."""
+    if dispatch_iters is None:
+        dispatch_iters = _auto_dispatch_iters(
+            prob.obs_cam.size, kwargs.get("solve_mode", "dense"),
+            kwargs.get("pcg_iters", 100),
+        )
+    out = _bundle_adjust_segment(
+        prob, jnp.asarray(min(dispatch_iters, max_iterations), jnp.int32),
+        **kwargs,
+    )
+    first = out
+    while (int(out["iterations"]) < max_iterations
+           and not bool(out["converged"])):
+        state = (
+            out["K"], out["R"], out["t"], out["X"], out["radius"],
+            out["cost_final"], out["iterations"], out["converged"],
+        )
+        limit = min(int(out["iterations"]) + dispatch_iters, max_iterations)
+        out = _bundle_adjust_segment(
+            prob, jnp.asarray(limit, jnp.int32), init_state=state, **kwargs
+        )
+    if out is not first:
+        out = dict(out)
+        out["cost_initial"] = first["cost_initial"]
+        out["rmse_initial"] = first["rmse_initial"]
+    return out
 
 
 def bundle_adjust_impl(
@@ -213,9 +274,15 @@ def bundle_adjust_impl(
     min_lm_diagonal: float = 1e-6,
     max_lm_diagonal: float = 1e32,
     axis_name: str | None = None,
+    init_state=None,
 ) -> dict[str, Any]:
     """Run LM. Returns dict(R, t, X, cost_initial, cost_final, iterations,
-    rmse_initial, rmse_final, num_residuals).
+    rmse_initial, rmse_final, num_residuals, radius, converged).
+
+    `max_iterations` may be a traced scalar (dynamic while_loop bound) and
+    `init_state` a carried (K, R, t, X, radius, cost, it, done) tuple — the
+    two hooks the segmented host driver in `bundle_adjust` uses to split one
+    optimisation across many bounded device dispatches.
 
     With `axis_name` set this function is SPMD over a mesh axis that shards
     the *point* dimension (landmark-sharded distributed BA): cameras and the
@@ -793,11 +860,14 @@ def bundle_adjust_impl(
         return (K, R, t, X, radius_new, cost_out, it + 1,
                 f_conv | x_conv | g_conv | stuck)
 
-    state = (
-        prob.K, prob.R, prob.t, prob.X,
-        jnp.asarray(initial_radius, jnp.float32),
-        cost0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
-    )
+    if init_state is not None:
+        state = init_state
+    else:
+        state = (
+            prob.K, prob.R, prob.t, prob.X,
+            jnp.asarray(initial_radius, jnp.float32),
+            cost0, jnp.asarray(0, jnp.int32), jnp.asarray(False),
+        )
     K, R, t, X, radius, cost, iters, done = jax.lax.while_loop(cond, body, state)
     denom = jnp.maximum(num_res, 1.0)
     # Mean Euclidean reprojection error per observation — the metric the
@@ -819,17 +889,29 @@ def bundle_adjust_impl(
             return x
         return jax.lax.pmean(x, axis_name)
 
+    def _unvary_exact(x):
+        # pmax keeps integer/bool dtypes exact (pmean would true-divide);
+        # the segmented driver feeds these back as while_loop carries, so
+        # dtype drift would retrace.
+        if axis_name is None:
+            return x
+        if x.dtype == jnp.bool_:
+            return jax.lax.pmax(x.astype(jnp.int32), axis_name) > 0
+        return jax.lax.pmax(x, axis_name)
+
     return {
         "R": _unvary(R),
         "t": _unvary(t),
         "X": X,
         "cost_initial": _unvary(cost0),
         "cost_final": _unvary(cost),
-        "iterations": _unvary(iters),
+        "iterations": _unvary_exact(iters),
         # Per-residual-component RMSE (Ceres convention: 2 components/obs).
         "rmse_initial": _unvary(jnp.sqrt(cost0 / denom)),
         "rmse_final": _unvary(jnp.sqrt(cost / denom)),
         "mean_reproj_error": _unvary(mean_reproj),
         "num_residuals": _unvary(num_res),
         "K": _unvary(K),
+        "radius": _unvary(radius),
+        "converged": _unvary_exact(done),
     }

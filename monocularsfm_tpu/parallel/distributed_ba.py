@@ -67,6 +67,7 @@ def distributed_bundle_adjust(
     mesh: Mesh,
     max_iterations: int = 50,
     solve_mode: str = "dense",
+    dispatch_iters: int | None = None,
     **kwargs,
 ):
     """Run LM with the point/observation axis sharded over `mesh`.
@@ -76,7 +77,13 @@ def distributed_bundle_adjust(
     scaling axis of SURVEY.md section 5.  Returns the same dict as
     bundle_adjust; X is gathered back to full size on single-host meshes
     and stays point-sharded (padded to the mesh size) across processes.
+
+    Like the single-device driver, the optimisation is host-driven in
+    bounded dispatch segments (see optim/ba.py `_auto_dispatch_iters`);
+    solver state stays device-resident and sharded between segments.
     """
+    from monocularsfm_tpu.optim.ba import _auto_dispatch_iters
+
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     orig_P = prob.X.shape[0]
@@ -109,24 +116,46 @@ def distributed_bundle_adjust(
         "R": rep, "t": rep, "X": pt, "K": rep,
         "cost_initial": rep, "cost_final": rep, "iterations": rep,
         "rmse_initial": rep, "rmse_final": rep, "mean_reproj_error": rep,
-        "num_residuals": rep,
+        "num_residuals": rep, "radius": rep, "converged": rep,
     }
+    state_specs = (rep, rep, rep, pt, rep, rep, rep, rep)
 
-    fn = jax.jit(
-        jax.shard_map(
-            functools.partial(
-                bundle_adjust_impl,
-                max_iterations=max_iterations,
-                solve_mode=solve_mode,
-                axis_name=axis,
-                **kwargs,
-            ),
-            mesh=mesh,
-            in_specs=(in_specs,),
-            out_specs=out_specs,
-        )
+    base = functools.partial(
+        bundle_adjust_impl, solve_mode=solve_mode, axis_name=axis, **kwargs
     )
-    out = fn(prob)
+    fn_first = jax.jit(jax.shard_map(
+        lambda p, mi: base(p, max_iterations=mi),
+        mesh=mesh, in_specs=(in_specs, rep), out_specs=out_specs,
+    ))
+    fn_cont = jax.jit(jax.shard_map(
+        lambda p, mi, st: base(p, max_iterations=mi, init_state=st),
+        mesh=mesh, in_specs=(in_specs, rep, state_specs),
+        out_specs=out_specs,
+    ))
+
+    def _scalar(v):
+        a = jnp.asarray(v, jnp.int32)
+        return _to_global(a, rep, mesh) if multi_host else a
+
+    if dispatch_iters is None:
+        dispatch_iters = _auto_dispatch_iters(
+            prob.obs_cam.size // n_dev, solve_mode,
+            kwargs.get("pcg_iters", 100),
+        )
+    out = fn_first(prob, _scalar(min(dispatch_iters, max_iterations)))
+    first = out
+    while (int(out["iterations"]) < max_iterations
+           and not bool(out["converged"])):
+        state = (
+            out["K"], out["R"], out["t"], out["X"], out["radius"],
+            out["cost_final"], out["iterations"], out["converged"],
+        )
+        limit = min(int(out["iterations"]) + dispatch_iters, max_iterations)
+        out = fn_cont(prob, _scalar(limit), state)
+    if out is not first:
+        out = dict(out)
+        out["cost_initial"] = first["cost_initial"]
+        out["rmse_initial"] = first["rmse_initial"]
     if not multi_host:
         out["X"] = out["X"][:orig_P]
     return out

@@ -81,6 +81,24 @@ class TestBundleAdjust:
         o2 = bundle_adjust(p2, max_iterations=20)
         assert abs(float(o1["rmse_final"]) - float(o2["rmse_final"])) < 1e-3
 
+    def test_segmented_dispatch_identical(self, ring_scene):
+        """Host-segmented solve (bounded per-dispatch LM iterations — the
+        axon worker kills dispatches past its execution grant) must walk the
+        EXACT same iterate sequence as the monolithic while_loop."""
+        prob = _build_problem(ring_scene, noise_px=0.3, perturb=0.7)
+        for mode, kw in [("dense", {}), ("pcg", {"pcg_iters": 40})]:
+            mono = bundle_adjust(prob, max_iterations=21, solve_mode=mode,
+                                 dispatch_iters=64, **kw)
+            seg = bundle_adjust(prob, max_iterations=21, solve_mode=mode,
+                                dispatch_iters=4, **kw)
+            assert int(seg["iterations"]) == int(mono["iterations"])
+            assert bool(seg["converged"]) == bool(mono["converged"])
+            np.testing.assert_allclose(
+                float(seg["cost_final"]), float(mono["cost_final"]),
+                rtol=1e-6)
+            np.testing.assert_allclose(
+                np.asarray(seg["X"]), np.asarray(mono["X"]), atol=1e-6)
+
     def test_pcg_matches_dense(self, ring_scene):
         prob = _build_problem(ring_scene, noise_px=0.3, perturb=0.5)
         dense = bundle_adjust(prob, max_iterations=25, solve_mode="dense")
