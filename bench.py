@@ -41,6 +41,8 @@ import numpy as np
 REPO = pathlib.Path(__file__).resolve().parent
 CACHE = REPO / ".bench_cpu_baseline.json"
 
+SMOKE = bool(os.environ.get("BENCH_SMOKE"))
+
 CAMS = 128
 POINTS = 40000
 TRACK = 8
@@ -55,6 +57,12 @@ PCG_INNER = 50
 EXTRACT_W, EXTRACT_H = 1280, 960
 EXTRACT_FEATURES = 8024
 MATCH_CAP = 8192
+
+if SMOKE:  # tiny shapes so tests/test_bench_contract.py can run e2e on CPU
+    CAMS, POINTS, TRACK, ITERS = 8, 1500, 4, 3
+    PCG_CAMS, PCG_POINTS, PCG_TRACK, PCG_LM_ITERS, PCG_INNER = 16, 2000, 4, 2, 5
+    EXTRACT_W, EXTRACT_H, EXTRACT_FEATURES = 320, 240, 512
+    MATCH_CAP = 1024
 
 
 def log(*a):
@@ -95,8 +103,6 @@ def _ring_problem(cams, points, track, seed=2):
     order = np.argpartition(keys, min(track, vis.shape[1] - 1), axis=1)
     obs_cam = order[:, :track].astype(np.int32)
     obs_valid = np.take_along_axis(vis, order[:, :track], axis=1)
-    nvis = vis.sum(axis=1)
-    obs_valid &= np.arange(track)[None, :] < nvis[:, None]
     obs_uv = scene.observations[
         obs_cam, np.arange(points)[:, None]
     ].astype(np.float32)
@@ -114,7 +120,7 @@ def _ring_problem(cams, points, track, seed=2):
         np.float32,
     )
     prob = make_bundle_problem(K4, R, t, X, obs_cam, obs_uv,
-                               obs_valid * 1 > 0, cam_const)
+                               obs_valid, cam_const)
     return prob, int(obs_valid.sum())
 
 
@@ -169,7 +175,7 @@ def _bench_image():
     from monocularsfm_tpu.utils.synthetic import render_textured_images
 
     imgs, _, _, _ = render_textured_images(
-        num_images=3, width=EXTRACT_W, height=EXTRACT_H, seed=5)
+        scene_seed=5, num_cameras=3, width=EXTRACT_W, height=EXTRACT_H)
     return imgs
 
 
@@ -322,7 +328,10 @@ def main():
     except Exception:
         pass
     r = run_all()
-    base = cpu_baselines(["dense", "pcg", "extract_cv2", "match_cv2"])
+    if SMOKE:
+        base = {}
+    else:
+        base = cpu_baselines(["dense", "pcg", "extract_cv2", "match_cv2"])
 
     def ratio(v, b):
         return round(v / b, 3) if b else None

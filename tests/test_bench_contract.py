@@ -1,0 +1,68 @@
+"""Guards the bench.py stdout contract (CLAUDE.md: exactly one JSON line).
+
+Round-3 shipped a bench whose image-rendering helper called
+render_textured_images with the wrong keywords and crashed before emitting
+JSON (VERDICT round 3, weak #1).  These tests call every problem-construction
+helper bench.py uses — the cheap parts that can break via signature drift —
+without paying for the actual timed measurements.
+"""
+
+import importlib.util
+import json
+import pathlib
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent.parent
+
+
+def _load_bench():
+    spec = importlib.util.spec_from_file_location("bench", REPO / "bench.py")
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_bench_image_helper_renders():
+    bench = _load_bench()
+    imgs = bench._bench_image()
+    assert imgs.shape[0] == 3
+    assert imgs.shape[1:] == (bench.EXTRACT_H, bench.EXTRACT_W)
+    assert imgs.dtype == np.uint8
+
+
+def test_bench_ring_problem_builds():
+    bench = _load_bench()
+    prob, nobs = bench._ring_problem(6, 200, 3)
+    assert nobs > 0
+    assert prob.obs_uv.shape[-1] == 2
+
+
+def test_bench_match_bank():
+    bench = _load_bench()
+    descs = bench._match_bank(2)
+    assert descs[0].shape == (bench.MATCH_CAP, 128)
+
+
+def test_bench_emits_single_json_line_smoke():
+    """Run bench.py end-to-end at smoke scale on CPU: stdout == 1 JSON line."""
+    import os
+
+    env = dict(
+        os.environ,
+        JAX_PLATFORMS="cpu",
+        BENCH_SMOKE="1",
+    )
+    res = subprocess.run(
+        [sys.executable, str(REPO / "bench.py")],
+        env=env, capture_output=True, text=True, timeout=900,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    lines = [l for l in res.stdout.strip().splitlines() if l.strip()]
+    assert len(lines) == 1, res.stdout
+    out = json.loads(lines[0])
+    assert out["metric"] == "global_ba_lm_iters_per_sec"
+    assert out["value"] > 0
+    assert "extra" in out

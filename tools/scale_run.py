@@ -50,12 +50,6 @@ def render_dataset(data_dir: pathlib.Path, num_images: int, width: int,
 
     img_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
-    # Render in chunks to bound host memory (128 x 1.2MP fits, but stay lean).
-    chunk = 16
-    K = R = t = None
-    Rs, ts = [], []
-    # Deterministic: a single call renders the full arc; chunking by camera
-    # range would change the arc spacing, so render all at once per seed.
     images, K, R, t = render_multiplane_images(
         scene_seed=seed, num_cameras=num_images, width=width, height=height)
     for i in range(num_images):
