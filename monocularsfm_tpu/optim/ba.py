@@ -164,6 +164,7 @@ def _cost(r):
     jax.jit,
     static_argnames=(
         "schur_chunk", "solve_mode", "pcg_iters", "refine_focal",
+        "pcg_cached", "pcg_max_rows", "pcg_max_blocks", "pcg_rtol",
     ),
 )
 def _bundle_adjust_segment(
@@ -179,6 +180,10 @@ def _bundle_adjust_segment(
     refine_focal: bool = False,
     min_lm_diagonal: float = 1e-6,
     max_lm_diagonal: float = 1e32,
+    pcg_cached: bool = False,
+    pcg_max_rows: int = 1,
+    pcg_max_blocks: int = 16,
+    pcg_rtol: float = 1e-2,
     init_state=None,
 ) -> dict[str, Any]:
     """One jitted LM segment (max_iterations is a dynamic operand, so every
@@ -196,6 +201,10 @@ def _bundle_adjust_segment(
         refine_focal=refine_focal,
         min_lm_diagonal=min_lm_diagonal,
         max_lm_diagonal=max_lm_diagonal,
+        pcg_cached=pcg_cached,
+        pcg_max_rows=pcg_max_rows,
+        pcg_max_blocks=pcg_max_blocks,
+        pcg_rtol=pcg_rtol,
         axis_name=None,
         init_state=init_state,
     )
@@ -208,17 +217,63 @@ def _bundle_adjust_segment(
 # bounded dispatches are good hygiene anyway (host-side convergence control,
 # progress logging, preemptibility — the Ceres iteration-callback shape).
 _PCG_SEC_PER_OBS_CG = 2.3e-8
+# Cached-W path: CG matvecs are HBM-bound cache reads (~0.5 GB/matvec at
+# 1.2M obs), plus a fixed per-iteration system-build pass.
+_PCG_CACHED_SEC_PER_OBS_CG = 6e-10
+_PCG_CACHED_SEC_PER_OBS = 1.5e-7
 _DENSE_SEC_PER_OBS = 2.5e-7
 _DISPATCH_TARGET_SEC = 5.0
 
 
 def _auto_dispatch_iters(obs_capacity: int, solve_mode: str,
-                         pcg_iters: int) -> int:
-    if solve_mode == "pcg":
+                         pcg_iters: int, pcg_cached: bool = False) -> int:
+    if solve_mode == "pcg" and pcg_cached:
+        est = obs_capacity * (
+            _PCG_CACHED_SEC_PER_OBS
+            + _PCG_CACHED_SEC_PER_OBS_CG * max(pcg_iters, 1)
+        )
+    elif solve_mode == "pcg":
         est = _PCG_SEC_PER_OBS_CG * obs_capacity * max(pcg_iters, 1)
     else:
         est = _DENSE_SEC_PER_OBS * obs_capacity
     return max(1, int(_DISPATCH_TARGET_SEC / max(est, 1e-9)))
+
+
+def _next_pow2(x: int, minimum: int = 1) -> int:
+    cap = minimum
+    while cap < x:
+        cap *= 2
+    return cap
+
+
+def derive_pcg_cached_statics(prob: BundleProblem) -> dict[str, Any]:
+    """Host-side shape statics for the cached-W PCG path.
+
+    Returns {} when the problem is ineligible (unsorted point_rows — the
+    camera/point segment reductions need contiguous sorted segments; the
+    map_state BA bridge always builds sorted rows).  Capacities are pow2
+    buckets so recompiles stay logarithmic in problem growth."""
+    obs_cam = np.asarray(prob.obs_cam)
+    obs_valid = np.asarray(prob.obs_valid)
+    C = int(prob.R.shape[0])
+    rows = prob.point_rows
+    max_rows = 1
+    if rows is not None:
+        r = np.asarray(rows)
+        if np.any(np.diff(r) < 0):
+            return {}
+        row_real = obs_valid.any(axis=1)
+        if row_real.any():
+            max_rows = int(np.bincount(r[row_real]).max())
+    cams_used = obs_cam[obs_valid]
+    max_per_cam = (
+        int(np.bincount(cams_used, minlength=C).max()) if cams_used.size else 1
+    )
+    return {
+        "pcg_cached": True,
+        "pcg_max_rows": _next_pow2(max_rows),
+        "pcg_max_blocks": _next_pow2(-(-max_per_cam // 128)),
+    }
 
 
 def bundle_adjust(
@@ -233,10 +288,12 @@ def bundle_adjust(
     stays on device between segments; the host only reads the convergence
     flag.  `dispatch_iters` caps LM iterations per device dispatch (default:
     auto from problem size so one dispatch stays ~4 s)."""
+    if kwargs.get("solve_mode") == "pcg" and "pcg_cached" not in kwargs:
+        kwargs.update(derive_pcg_cached_statics(prob))
     if dispatch_iters is None:
         dispatch_iters = _auto_dispatch_iters(
             prob.obs_cam.size, kwargs.get("solve_mode", "dense"),
-            kwargs.get("pcg_iters", 100),
+            kwargs.get("pcg_iters", 100), kwargs.get("pcg_cached", False),
         )
     out = _bundle_adjust_segment(
         prob, jnp.asarray(min(dispatch_iters, max_iterations), jnp.int32),
@@ -273,6 +330,10 @@ def bundle_adjust_impl(
     refine_focal: bool = False,
     min_lm_diagonal: float = 1e-6,
     max_lm_diagonal: float = 1e32,
+    pcg_cached: bool = False,
+    pcg_max_rows: int = 1,
+    pcg_max_blocks: int = 16,
+    pcg_rtol: float = 1e-2,
     axis_name: str | None = None,
     init_state=None,
 ) -> dict[str, Any]:
@@ -771,6 +832,347 @@ def bundle_adjust_impl(
             step_sq = jnp.sum(dc * dc) + _ps(jnp.sum(dp * dp))
             return cost, new_cost, pred, K, R_new, t_new, X_new, step_sq, g_inf
 
+        # ---- cached-W PCG (the fast path) --------------------------------
+        # The flash path above rebuilds every Jacobian block inside all
+        # `pcg_iters` CG matvecs — ~100 observation passes per LM iteration,
+        # each paying a 50 MB one-hot materialisation for the camera reduce
+        # plus a scatter for the point reduce.  Here the Schur coupling
+        # blocks W = Jc^T Jp (18 floats/obs) are built ONCE per LM iteration
+        # and cached in two tile-friendly layouts:
+        #   * point-major  Wt  (T, 3, 6, Pp)   — minor dims (6, Pp) tile at
+        #     1.33x pad; the point reduce is a sum over leading axes plus a
+        #     bounded per-point row gather (exact, no big-cumsum cancellation),
+        #   * camera-sorted W_cs (3, 6, Opad)  — observations sorted by
+        #     camera into 128-aligned per-camera segments, so the camera
+        #     reduce is an in-block sum over the minor axis followed by a
+        #     bounded per-camera block gather.  No one-hot, no scatter.
+        # Each CG matvec is then pure cached reads (~0.5 GB of HBM traffic at
+        # 1.2M observations) — HBM-bound at speed-of-light rather than
+        # rebuild-bound.  CG also exits early on ||r|| <= pcg_rtol * ||rhs||
+        # (Ceres ITERATIVE_SCHUR forcing-sequence analogue).
+        if pcg_cached:
+            Pp = nchunks * ch              # chunk-padded row capacity
+            O = T * Pp                     # flat observation capacity
+            Opad = -(-(O + C * 128) // 128) * 128
+            NB = Opad // 128
+            cams_tp = jnp.transpose(cams_x, (1, 0, 2)).reshape(T, Pp)
+            w_tp = jnp.transpose(w_x, (1, 0, 2)).reshape(T, Pp)
+            prow_p = prow_x.reshape(Pp)
+            if rpad:
+                # Keep the row->point map sorted across the chunk padding
+                # (padded rows carry zero weight; Pn-1 >= every real value).
+                prow_p = jnp.concatenate(
+                    [prow_p[:P], jnp.full((rpad,), Pn - 1, jnp.int32)])
+
+            if rows is not None:
+                # Sorted rows (the map_state bridge guarantees it; the host
+                # driver verifies before enabling this path).
+                row_start = jnp.searchsorted(prow_p, jnp.arange(Pn + 1))
+
+            def rows_to_points(arr):
+                """(k, Pp) per-row -> (k, Pn) per-point, exact bounded sum."""
+                if rows is None:
+                    return arr[:, :Pn]
+                acc = jnp.zeros((arr.shape[0], Pn), arr.dtype)
+                for j in range(pcg_max_rows):
+                    idx = row_start[:-1] + j
+                    ok = idx < row_start[1:]
+                    acc = acc + jnp.where(
+                        ok[None, :], arr[:, jnp.minimum(idx, Pp - 1)], 0.0)
+                return acc
+
+            # Camera-sorted observation order with 128-aligned per-camera
+            # segments (invalid observations sort to a dropped sentinel).
+            cam_o = cams_tp.reshape(-1)
+            m_o = w_tp.reshape(-1) > 0
+            sort_key = jnp.where(m_o, cam_o, C).astype(jnp.int32)
+            order_cs = jnp.argsort(sort_key).astype(jnp.int32)
+            key_sorted = sort_key[order_cs]
+            cam_counts = jnp.bincount(sort_key, length=C + 1)[:C]
+            aligned = (((cam_counts + 127) // 128) * 128).astype(jnp.int32)
+            zero1 = jnp.zeros(1, jnp.int32)
+            pad_start = jnp.concatenate([zero1, jnp.cumsum(aligned)])
+            cnt_start = jnp.concatenate(
+                [zero1, jnp.cumsum(cam_counts).astype(jnp.int32)])
+            kc = jnp.minimum(key_sorted, C - 1)
+            pos = jnp.where(
+                key_sorted < C,
+                pad_start[kc] + (jnp.arange(O, dtype=jnp.int32)
+                                 - cnt_start[kc]),
+                Opad,
+            )
+            sel_cs = jnp.zeros(Opad, jnp.int32).at[pos].set(
+                order_cs, mode="drop")
+            val_cs = jnp.zeros(Opad, jnp.float32).at[pos].set(
+                1.0, mode="drop")
+            prow_o = jnp.broadcast_to(prow_p[None], (T, Pp)).reshape(-1)
+            pt_cs = jnp.take(prow_o, sel_cs)
+            cbs = pad_start // 128         # (C+1,) block ranges per camera
+
+            def cam_reduce_blocks(contrib):
+                """(k, Opad) camera-sorted -> (C, k), exact bounded sum."""
+                kdim = contrib.shape[0]
+                bs = contrib.reshape(kdim, NB, 128).sum(-1)   # (k, NB)
+                acc = jnp.zeros((kdim, C), contrib.dtype)
+                for b in range(pcg_max_blocks):
+                    idx = cbs[:-1] + b
+                    ok = idx < cbs[1:]
+                    acc = acc + jnp.where(
+                        ok[None, :], bs[:, jnp.minimum(idx, NB - 1)], 0.0)
+                return acc.T
+
+            # Component-wise chunk algebra: every per-observation quantity is
+            # a plain (T, ch) f32 array — no (.., 2, 6)/(.., 3, 3) trailing
+            # dims, whose (8, 128) tile padding inflates HBM traffic up to
+            # 85x and forces multi-pass HIGHEST-precision einsums.  The whole
+            # Jacobian/block build is exact f32 VPU elementwise math.
+            def _pose_table(R, t):
+                """(C, 13) row-gatherable per-camera pack: R (9), t (3), free."""
+                return jnp.concatenate(
+                    [R.reshape(C, 9), t, free_cam[:, None]], axis=1)
+
+            def _comp_geom(tab, X, cams, prow):
+                g = jnp.take(tab, cams.reshape(-1), axis=0).reshape(
+                    T, ch, 13).transpose(2, 0, 1)          # (13, T, ch)
+                Xr = jnp.take(X, prow, axis=0).T           # (3, ch)
+                x0, x1, x2 = Xr[0][None], Xr[1][None], Xr[2][None]
+                q0 = g[0] * x0 + g[1] * x1 + g[2] * x2
+                q1 = g[3] * x0 + g[4] * x1 + g[5] * x2
+                q2 = g[6] * x0 + g[7] * x1 + g[8] * x2
+                p0, p1, p2 = q0 + g[9], q1 + g[10], q2 + g[11]
+                zs = jnp.where(jnp.abs(p2) < 1e-6, 1e-6, p2)
+                return g, (q0, q1, q2), (p0, p1), zs
+
+            def _comp_resid(K, p0, p1, zs, uu, vv, ww):
+                inv_z = 1.0 / zs
+                ru = (K[0] * p0 * inv_z + K[2] - uu) * ww
+                rv = (K[1] * p1 * inv_z + K[3] - vv) * ww
+                return ru, rv, inv_z
+
+            def build_caches(K, R, t, X):
+                """One observation pass -> cost, U, g_c, V9, g_p, Wt, W_cs.
+
+                All per-observation payload destined for the camera side
+                (36 U entries + 6 g_c entries + 18 W entries) travels to the
+                camera-sorted order through ONE row-gather of a packed
+                (O, 60) table — TPU gathers run at tile-row granularity, so
+                one wide row-gather beats many narrow/minor-axis gathers."""
+                tab = _pose_table(R, t)
+
+                def body(cost, xs):
+                    cams, uu, vv, ww, prow = xs
+                    g, (q0, q1, q2), (p0, p1), zs = _comp_geom(
+                        tab, X, cams, prow)
+                    ru, rv, inv_z = _comp_resid(K, p0, p1, zs, uu, vv, ww)
+                    fc = g[12]
+                    a = K[0] * inv_z * ww
+                    b = -K[0] * p0 * inv_z * inv_z * ww
+                    c = K[1] * inv_z * ww
+                    d = -K[1] * p1 * inv_z * inv_z * ww
+                    zero = jnp.zeros_like(a)
+                    # Jc = Jproj @ [-skew(q) | I], gauge-masked by free_cam.
+                    Jc0 = [fc * e for e in (
+                        b * q1, a * q2 - b * q0, -a * q1, a, zero, b)]
+                    Jc1 = [fc * e for e in (
+                        -c * q2 + d * q1, -d * q0, c * q0, zero, c, d)]
+                    # Jp = Jproj @ R_obs.
+                    Jp0 = [a * g[k] + b * g[6 + k] for k in range(3)]
+                    Jp1 = [c * g[3 + k] + d * g[6 + k] for k in range(3)]
+                    UU = [Jc0[i] * Jc0[j] + Jc1[i] * Jc1[j]
+                          for i in range(6) for j in range(6)]
+                    gcc = [-(Jc0[j] * ru + Jc1[j] * rv) for j in range(6)]
+                    Wkj = [Jc0[j] * Jp0[k] + Jc1[j] * Jp1[k]
+                           for k in range(3) for j in range(6)]
+                    pay = jnp.stack(UU + gcc + Wkj, axis=-1).reshape(
+                        T * ch, 60)
+                    Vc = jnp.stack(
+                        [jnp.sum(Jp0[i] * Jp0[j] + Jp1[i] * Jp1[j], axis=0)
+                         for i in range(3) for j in range(3)])     # (9, ch)
+                    gpc = jnp.stack(
+                        [-jnp.sum(Jp0[k] * ru + Jp1[k] * rv, axis=0)
+                         for k in range(3)])                       # (3, ch)
+                    Wc = jnp.stack(Wkj).reshape(3, 6, T, ch).transpose(
+                        2, 0, 1, 3)                                # (T,3,6,ch)
+                    cost_c = 0.5 * jnp.sum(ru * ru + rv * rv)
+                    return cost + cost_c, (pay, Vc, gpc, Wc)
+
+                cost_l, (pay_ys, V_ys, gp_ys, W_ys) = jax.lax.scan(
+                    body, _pv(jnp.zeros((), jnp.float32)), xs_all)
+                # (nc, T*ch, 60) -> (T, nc, ch, 60) -> row o = t*Pp + n*ch + c.
+                pay_tab = pay_ys.reshape(nchunks, T, ch, 60).transpose(
+                    1, 0, 2, 3).reshape(O, 60)
+                pay_cs = (jnp.take(pay_tab, sel_cs, axis=0)
+                          * val_cs[:, None]).T                     # (60, Opad)
+                Ugc = cam_reduce_blocks(pay_cs[:42])               # (C, 42)
+                U = _ps(Ugc[:, :36].reshape(C, 6, 6))
+                g_c = Ugc[:, 36:]                  # local partial (psum'd at use)
+                W_cs = pay_cs[42:].reshape(3, 6, Opad)
+                V9 = rows_to_points(
+                    V_ys.transpose(1, 0, 2).reshape(9, Pp))        # (9, Pn)
+                g_p = rows_to_points(
+                    gp_ys.transpose(1, 0, 2).reshape(3, Pp))       # (3, Pn)
+                Wt = W_ys.transpose(1, 2, 3, 0, 4).reshape(T, 3, 6, Pp)
+                return cost_l, U, g_c, V9, g_p, Wt, W_cs
+
+            # Component-wise cost / reprojection passes (shadow the flash
+            # versions for the cached path — same values, ~10x less traffic).
+            def flash_cost(K, R, t, X):  # noqa: F811
+                tab = _pose_table(R, t)
+
+                def body(cost, xs):
+                    cams, uu, vv, ww, prow = xs
+                    _, _, (p0, p1), zs = _comp_geom(tab, X, cams, prow)
+                    ru, rv, _ = _comp_resid(K, p0, p1, zs, uu, vv, ww)
+                    return cost + 0.5 * jnp.sum(ru * ru + rv * rv), None
+
+                return jax.lax.scan(
+                    body, _pv(jnp.zeros((), jnp.float32)), xs_all)[0]
+
+            def flash_reproj_sum(K, R, t, X):  # noqa: F811
+                tab = _pose_table(R, t)
+
+                def body(acc, xs):
+                    cams, uu, vv, ww, prow = xs
+                    _, _, (p0, p1), zs = _comp_geom(tab, X, cams, prow)
+                    ru, rv, _ = _comp_resid(K, p0, p1, zs, uu, vv, ww)
+                    return acc + jnp.sum(jnp.sqrt(ru * ru + rv * rv)), None
+
+                return jax.lax.scan(
+                    body, _pv(jnp.zeros((), jnp.float32)), xs_all)[0]
+
+            eye9 = jnp.array([1, 0, 0, 0, 1, 0, 0, 0, 1], jnp.float32)
+            pv_mask = prob.point_valid.astype(jnp.float32)
+
+            def damp_V9(V9, lam):
+                d0 = jnp.clip(V9[0], min_lm_diagonal, max_lm_diagonal)
+                d4 = jnp.clip(V9[4], min_lm_diagonal, max_lm_diagonal)
+                d8 = jnp.clip(V9[8], min_lm_diagonal, max_lm_diagonal)
+                Vd = jnp.stack([
+                    V9[0] + lam * d0, V9[1], V9[2],
+                    V9[3], V9[4] + lam * d4, V9[5],
+                    V9[6], V9[7], V9[8] + lam * d8,
+                ])
+                return jnp.where(prob.point_valid[None, :], Vd, eye9[:, None])
+
+            def inv3x3_9(V):
+                a00, a01, a02, a10, a11, a12, a20, a21, a22 = V
+                c00 = a11 * a22 - a12 * a21
+                c01 = a12 * a20 - a10 * a22
+                c02 = a10 * a21 - a11 * a20
+                c10 = a02 * a21 - a01 * a22
+                c11 = a00 * a22 - a02 * a20
+                c12 = a01 * a20 - a00 * a21
+                c20 = a01 * a12 - a02 * a11
+                c21 = a02 * a10 - a00 * a12
+                c22 = a00 * a11 - a01 * a10
+                det = a00 * c00 + a01 * c01 + a02 * c02
+                det = jnp.where(jnp.abs(det) < 1e-18, 1e-18, det)
+                return jnp.stack(
+                    [c00, c10, c20, c01, c11, c21, c02, c12, c22]) / det
+
+            def mat9_apply(M9, g):
+                """(9, Pn) row-major 3x3 blocks applied to (3, Pn)."""
+                return jnp.stack([
+                    M9[0] * g[0] + M9[1] * g[1] + M9[2] * g[2],
+                    M9[3] * g[0] + M9[4] * g[1] + M9[5] * g[2],
+                    M9[6] * g[0] + M9[7] * g[1] + M9[8] * g[2],
+                ])
+
+            def damp_U(U, lam):
+                dU = jnp.clip(jnp.diagonal(U, axis1=-2, axis2=-1),
+                              min_lm_diagonal, max_lm_diagonal)
+                U_d = U + lam * dU[..., None] * eyeC6
+                pin = ~(prob.cam_valid & ~prob.cam_const)
+                return jnp.where(pin[:, None, None], eyeC6, U_d)
+
+            cams_flat = cams_tp.reshape(-1)
+
+            def WT_pts(Wt, x):
+                """x (C, 6) -> (3, Pn): per-point sum of W^T x_cam.
+
+                The camera->observation broadcast is ONE row-gather from the
+                tiny (C, 6) table (tile-row granularity) with the transpose
+                to the clean (T, 6, Pp) layout fused into the gather."""
+                xg = jnp.take(x, cams_flat, axis=0).reshape(
+                    T, Pp, 6).transpose(0, 2, 1)                   # (T, 6, Pp)
+                Wx = jnp.einsum("tkjp,tjp->kp", Wt, xg,
+                                precision=_HIGHEST)                # (3, Pp)
+                return rows_to_points(Wx)
+
+            def Wy_cams(W_cs, y):
+                """y (3, Pn) -> (C, 6) local partial of per-camera W y_p."""
+                yg = jnp.take(y.T, pt_cs, axis=0).T                # (3, Opad)
+                contrib = jnp.einsum("kjo,ko->jo", W_cs, yg,
+                                     precision=_HIGHEST)           # (6, Opad)
+                return cam_reduce_blocks(contrib)                  # (C, 6)
+
+            def try_step_pcg_cached(K, R, t, X, lam):
+                cost_l, U, g_c, V9, g_p, Wt, W_cs = build_caches(K, R, t, X)
+                cost = _ps(cost_l)
+                g_inf = jnp.maximum(
+                    jnp.max(jnp.abs(_ps(g_c) * free_cam[:, None])),
+                    _pmax(jnp.max(jnp.abs(g_p * prob.point_valid[None, :]))),
+                )
+                U_d = damp_U(U, lam)
+                Vi = inv3x3_9(damp_V9(V9, lam))
+                rhs = _ps(g_c - Wy_cams(W_cs, mat9_apply(Vi, g_p)))
+                Uinv = jnp.linalg.inv(U_d)
+
+                def S_mul(x):
+                    VWx = mat9_apply(Vi, WT_pts(Wt, x))
+                    back = _ps(Wy_cams(W_cs, VWx))
+                    Ux = jnp.einsum("cij,cj->ci", U_d, x, precision=_HIGHEST)
+                    return Ux - back
+
+                def prec(z):
+                    return jnp.einsum("cij,cj->ci", Uinv, z,
+                                      precision=_HIGHEST)
+
+                r0 = rhs
+                z0 = prec(r0)
+                tol2 = (pcg_rtol * pcg_rtol) * jnp.sum(rhs * rhs)
+
+                def cg_cond(cst):
+                    _, r, _, _, k, _ = cst
+                    return (k < pcg_iters) & (jnp.sum(r * r) > tol2)
+
+                def cg_body(cst):
+                    x, r, z, pvec, k, rz = cst
+                    Sp = S_mul(pvec)
+                    alpha = rz / jnp.maximum(jnp.sum(pvec * Sp), 1e-20)
+                    x = x + alpha * pvec
+                    r_new = r - alpha * Sp
+                    z_new = prec(r_new)
+                    rz_new = jnp.sum(r_new * z_new)
+                    beta = rz_new / jnp.maximum(rz, 1e-20)
+                    return (x, r_new, z_new, z_new + beta * pvec,
+                            k + 1, rz_new)
+
+                dc = jax.lax.while_loop(
+                    cg_cond, cg_body,
+                    (jnp.zeros_like(rhs), r0, z0, z0,
+                     jnp.asarray(0, jnp.int32), jnp.sum(r0 * z0)),
+                )[0]
+                dc = dc * free_cam[:, None]
+                rhs_p = g_p - WT_pts(Wt, dc)
+                dp3 = mat9_apply(Vi, rhs_p) * pv_mask[None, :]
+                dp = dp3.T
+                # Predicted reduction from cached blocks (g = -J^T r):
+                # pred = g.dx - 0.5 dx^T (J^T J) dx, all undamped.
+                s_g = _ps(jnp.sum(g_c * dc)) + _ps(jnp.sum(g_p * dp3))
+                s_u = jnp.sum(dc * jnp.einsum("cij,cj->ci", U, dc,
+                                              precision=_HIGHEST))
+                s_w = _ps(jnp.sum(dc * Wy_cams(W_cs, dp3)))
+                s_v = _ps(jnp.sum(dp3 * mat9_apply(V9, dp3)))
+                pred = s_g - 0.5 * (s_u + 2.0 * s_w + s_v)
+                R_new = _exp_so3(dc[:, :3]) @ R
+                t_new = t + dc[:, 3:]
+                X_new = X + dp
+                new_cost = _ps(flash_cost(K, R_new, t_new, X_new))
+                step_sq = jnp.sum(dc * dc) + _ps(jnp.sum(dp * dp))
+                return (cost, new_cost, pred, K, R_new, t_new, X_new,
+                        step_sq, g_inf)
+
     def try_step(K, R, t, X, lam):
         r, U, g_c, V, g_p, W, Jc, Jp, focal = build_system(K, R, t, X)
         cost = _ps(_cost(r))  # global cost — must match compute_cost's reduction
@@ -821,7 +1223,7 @@ def bundle_adjust_impl(
         return cost, new_cost, pred, K_new, R_new, t_new, X_new, step_sq, g_inf
 
     if solve_mode == "pcg":
-        try_step = try_step_pcg
+        try_step = try_step_pcg_cached if pcg_cached else try_step_pcg
         cost0 = _ps(flash_cost(prob.K, prob.R, prob.t, prob.X))
     else:
         cost0, _ = compute_cost(prob.K, prob.R, prob.t, prob.X)

@@ -82,12 +82,18 @@ def distributed_bundle_adjust(
     bounded dispatch segments (see optim/ba.py `_auto_dispatch_iters`);
     solver state stays device-resident and sharded between segments.
     """
-    from monocularsfm_tpu.optim.ba import _auto_dispatch_iters
+    from monocularsfm_tpu.optim.ba import (
+        _auto_dispatch_iters, derive_pcg_cached_statics,
+    )
 
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     orig_P = prob.X.shape[0]
     prob = _pad_points(prob, n_dev)
+    if solve_mode == "pcg" and "pcg_cached" not in kwargs:
+        # Global stats are safe upper bounds for every point shard (the
+        # distributed path requires identity point_rows, so max_rows == 1).
+        kwargs.update(derive_pcg_cached_statics(prob))
 
     pt = P(axis)          # shard axis 0 (points / observations)
     rep = P()             # replicated
@@ -140,7 +146,7 @@ def distributed_bundle_adjust(
     if dispatch_iters is None:
         dispatch_iters = _auto_dispatch_iters(
             prob.obs_cam.size // n_dev, solve_mode,
-            kwargs.get("pcg_iters", 100),
+            kwargs.get("pcg_iters", 100), kwargs.get("pcg_cached", False),
         )
     out = fn_first(prob, _scalar(min(dispatch_iters, max_iterations)))
     first = out

@@ -935,7 +935,10 @@ class Map:
         obs_cam = np.zeros((Pr, T), np.int32)
         obs_uv = np.zeros((Pr, T, 2), np.float32)
         obs_valid = np.zeros((Pr, T), bool)
-        point_rows = np.zeros(Pr, np.int32)
+        # Pad rows map to the last point slot (not 0) so the array stays
+        # sorted end-to-end — the BA cached-PCG path's segment reductions
+        # require sorted point_rows; padded rows carry zero weight anyway.
+        point_rows = np.full(Pr, max(Pn - 1, 0), np.int32)
         if len(all_pid):
             # Row/slot of every observation, vectorised: sort by point, take
             # the within-point ordinal, and split it into (row, slot).
