@@ -171,30 +171,35 @@ def measure_pcg(iters=PCG_LM_ITERS):
     return n_it / dt, gflops, nobs
 
 
-def _bench_image():
+def _bench_image(num=4):
     from monocularsfm_tpu.utils.synthetic import render_textured_images
 
     imgs, _, _, _ = render_textured_images(
-        scene_seed=5, num_cameras=3, width=EXTRACT_W, height=EXTRACT_H)
+        scene_seed=5, num_cameras=num, width=EXTRACT_W, height=EXTRACT_H)
     return imgs
 
 
 def measure_extraction():
+    """Batched extraction images/s — the pipeline path (batch_size=4,
+    features/extraction.py); per-image dispatch latency would otherwise
+    dominate over the remote-TPU tunnel."""
     import jax
 
     from monocularsfm_tpu.ops.sift import SIFT
 
     imgs = _bench_image()
+    batch = imgs if not SMOKE else imgs[:2]
     sift = SIFT(num_features=EXTRACT_FEATURES)
-    kp, _ = sift.extract(imgs[0])  # warm-up / compile
+    kps, _ = sift.extract_batch(batch)  # warm-up / compile
     log(f"[extract] backend={jax.default_backend()} "
-        f"{EXTRACT_W}x{EXTRACT_H}: {len(kp)} feats")
-    reps, t0 = 4, time.perf_counter()
-    for r in range(reps):
-        sift.extract(imgs[r % len(imgs)])
+        f"{EXTRACT_W}x{EXTRACT_H}: {len(kps[0])} feats")
+    reps, t0 = 3, time.perf_counter()
+    for _ in range(reps):
+        sift.extract_batch(batch)
     dt = time.perf_counter() - t0
-    log(f"[extract] {reps} images in {dt:.2f}s -> {reps/dt:.3f} images/s")
-    return reps / dt
+    n = reps * len(batch)
+    log(f"[extract] {n} images in {dt:.2f}s -> {n/dt:.3f} images/s")
+    return n / dt
 
 
 def measure_extraction_cv2():
@@ -203,7 +208,7 @@ def measure_extraction_cv2():
     imgs = _bench_image()
     sift = cv2.SIFT_create(nfeatures=EXTRACT_FEATURES)
     sift.detectAndCompute(imgs[0], None)  # warm-up
-    reps, t0 = 4, time.perf_counter()
+    reps, t0 = 8, time.perf_counter()
     for r in range(reps):
         sift.detectAndCompute(imgs[r % len(imgs)], None)
     dt = time.perf_counter() - t0

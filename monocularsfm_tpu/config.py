@@ -32,6 +32,9 @@ class ExtractionConfig:
     # images (max_image_size 3200 -> 6400x4800 upsampled) process one at a
     # time, small ones keep the full batch.
     batch_pixel_budget: int = 48_000_000
+    # Halve the per-octave candidate budget past the second octave (perf
+    # lever); disable for scenes dominated by coarse-scale structure.
+    decay_octave_budget: bool = True
 
 
 @dataclasses.dataclass
@@ -105,7 +108,7 @@ class RegistrantConfig:
     abs_pose_max_error_px: float = 4.0
     ransac_confidence: float = 0.9999  # adaptive-continuation bound
     ransac_iterations: int = 4096      # hypotheses per dispatch round
-    pnp_method: str = "epnp"  # epnp (4-pt minimal) | p6p (DLT minimal-6); ref uses P3P/AP3P/EPNP/UPNP
+    pnp_method: str = "epnp"  # p3p (3-pt Grunert) | epnp (5-pt) | p6p (DLT); ref enum P3P/AP3P/EPNP/UPNP
 
 
 @dataclasses.dataclass

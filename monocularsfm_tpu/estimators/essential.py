@@ -24,6 +24,7 @@ from monocularsfm_tpu.estimators.fundamental import (
 )
 from monocularsfm_tpu.estimators.ransac import sample_minimal_sets, score_hypotheses
 from monocularsfm_tpu.geometry.triangulation import triangulate_two_view
+from monocularsfm_tpu.utils.precision import mm
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -32,7 +33,7 @@ def _enforce_essential(E: jnp.ndarray) -> jnp.ndarray:
     """Project onto the essential manifold: singular values (1, 1, 0)."""
     U, _, Vt = jnp.linalg.svd(E)
     S = jnp.zeros(E.shape[:-2] + (3,), E.dtype).at[..., 0].set(1.0).at[..., 1].set(1.0)
-    return U @ (S[..., :, None] * Vt)
+    return mm(U, S[..., :, None] * Vt)
 
 
 def _fit_e(x1n, x2n, idx=None, weights=None):
@@ -104,8 +105,8 @@ def decompose_essential(E: jnp.ndarray):
     U = U * jnp.sign(jnp.linalg.det(U))[..., None, None]
     Vt = Vt * jnp.sign(jnp.linalg.det(Vt))[..., None, None]
     W = jnp.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]], E.dtype)
-    R1 = U @ W @ Vt
-    R2 = U @ W.T @ Vt
+    R1 = mm(U, W, Vt)
+    R2 = mm(U, W.T, Vt)
     t = U[..., :, 2]
     Rs = jnp.stack([R1, R1, R2, R2], axis=-3)
     ts = jnp.stack([t, -t, t, -t], axis=-2)

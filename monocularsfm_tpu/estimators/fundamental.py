@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from monocularsfm_tpu.estimators.ransac import sample_minimal_sets, score_hypotheses
+from monocularsfm_tpu.utils.precision import mm
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -60,7 +61,7 @@ def _solve_nullspace_9(A_rows: jnp.ndarray, weights: jnp.ndarray | None = None):
 def _enforce_rank2(F: jnp.ndarray) -> jnp.ndarray:
     U, S, Vt = jnp.linalg.svd(F)
     S = S.at[..., 2].set(0.0)
-    return U @ (S[..., :, None] * Vt)
+    return mm(U, S[..., :, None] * Vt)
 
 
 def sampson_distance(F: jnp.ndarray, x1: jnp.ndarray, x2: jnp.ndarray) -> jnp.ndarray:
@@ -121,7 +122,7 @@ def estimate_fundamental_ransac(
         r = sampson_distance(F[None], x1[None], x2[None])[0]
         w = ((r <= thr2) & mask).astype(jnp.float32)
         Fn = _fit_f(x1n, x2n, weights=w)
-        F2 = T2.T @ Fn @ T1
+        F2 = mm(T2.T, Fn, T1)
         # Keep the refit only if it does not lose inliers.
         c_new = jnp.sum((sampson_distance(F2[None], x1[None], x2[None])[0] <= thr2) & mask)
         c_old = jnp.sum((sampson_distance(F[None], x1[None], x2[None])[0] <= thr2) & mask)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from monocularsfm_tpu.estimators.ransac import sample_minimal_sets, score_hypotheses
 from monocularsfm_tpu.estimators.fundamental import _hartley_normalize
+from monocularsfm_tpu.utils.precision import mm
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -85,7 +86,7 @@ def estimate_homography_ransac(
     T2inv = jnp.linalg.inv(T2)
 
     def denorm(Hn):
-        return T2inv @ Hn @ T1
+        return mm(T2inv, Hn, T1)
 
     n = x1.shape[0]
     sets = sample_minimal_sets(key, num_hyps, n, 4, mask)
@@ -150,7 +151,7 @@ def decompose_homography(H_euc: jnp.ndarray):
         )
         tp = (d1n - d3n) * jnp.stack([x1, jnp.zeros((), H_euc.dtype), -x3])
         npl = jnp.stack([x1, jnp.zeros((), H_euc.dtype), x3])
-        R = s * U @ Rp @ Vt
+        R = s * mm(U, Rp, Vt)
         t = jnp.einsum("ij,j->i", U, tp, precision=_HIGHEST)
         nrm = jnp.einsum("ji,j->i", Vt, npl, precision=_HIGHEST)
         return R, t, nrm
@@ -158,7 +159,7 @@ def decompose_homography(H_euc: jnp.ndarray):
     R, t, nvec = jax.vmap(cand)(eps)
     # Degenerate pure rotation (d1 ~ d2 ~ d3): R = s*U*Vt, t = 0.
     pure = (d1n - d3n) < 1e-5
-    R_pure = s * U @ Vt
+    R_pure = s * mm(U, Vt)
     R = jnp.where(pure, jnp.broadcast_to(R_pure, R.shape), R)
     t = jnp.where(pure, jnp.zeros_like(t), t)
     return R, t, nvec

@@ -37,6 +37,7 @@ from monocularsfm_tpu.geometry.rotations import (
     angle_axis_to_matrix,
     matrix_to_angle_axis,
 )
+from monocularsfm_tpu.utils.precision import mm
 
 _HIGHEST = jax.lax.Precision.HIGHEST
 
@@ -73,9 +74,9 @@ def _fit_p6p(X, xn, idx=None, weights=None):
     M = P[..., :, :3]
     # Procrustes projection of M onto SO(3), recovering scale + sign.
     U, S, Vt = jnp.linalg.svd(M)
-    detUV = jnp.linalg.det(U @ Vt)
+    detUV = jnp.linalg.det(mm(U, Vt))
     D = jnp.ones(S.shape, S.dtype).at[..., 2].set(jnp.sign(detUV))
-    R = U @ (D[..., :, None] * Vt)
+    R = mm(U, D[..., :, None] * Vt)
     scale = jnp.mean(S * D, axis=-1)
     scale = jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
     t = P[..., :, 3] / scale[..., None]
@@ -95,9 +96,9 @@ def _procrustes_pose(Xw: jnp.ndarray, Xc: jnp.ndarray):
     U, _, Vt = jnp.linalg.svd(H)
     D = jnp.diag(
         jnp.array([1.0, 1.0, 1.0], H.dtype)
-    ).at[2, 2].set(jnp.sign(jnp.linalg.det(Vt.T @ U.T)))
-    R = Vt.T @ D @ U.T
-    t = cc - R @ cw
+    ).at[2, 2].set(jnp.sign(jnp.linalg.det(mm(Vt.T, U.T))))
+    R = mm(Vt.T, D, U.T)
+    t = cc - mm(R, cw)
     return R, t
 
 
@@ -113,7 +114,7 @@ def _fit_epnp5(X, xn, idx):
     # degenerate samples just produce losing hypotheses).
     c0 = jnp.mean(Xs, axis=0)
     A = Xs - c0
-    lam, v = jnp.linalg.eigh(A.T @ A)  # ascending
+    lam, v = jnp.linalg.eigh(mm(A.T, A))  # ascending
     s = jnp.sqrt(jnp.maximum(lam, 1e-10) / Xs.shape[0])
     ctrl = jnp.concatenate([c0[None], c0[None] + s[:, None] * v.T], axis=0)
 
@@ -151,8 +152,8 @@ def _fit_epnp5(X, xn, idx):
     d12 = jnp.sum(dv[0] * dv[1], axis=-1)
     d22 = jnp.sum(dv[1] * dv[1], axis=-1)
     L = jnp.stack([d11, 2.0 * d12, d22], axis=-1)  # (6, 3)
-    LtL = L.T @ L + 1e-10 * jnp.eye(3, dtype=L.dtype)
-    b = jnp.linalg.solve(LtL, L.T @ dw2)
+    LtL = mm(L.T, L) + 1e-10 * jnp.eye(3, dtype=L.dtype)
+    b = jnp.linalg.solve(LtL, mm(L.T, dw2))
     b1 = jnp.sqrt(jnp.abs(b[0]))
     b2 = jnp.sign(b[1]) * jnp.sqrt(jnp.abs(b[2]))
     betas2 = jnp.array([b1, b2], dw2.dtype)
@@ -163,15 +164,15 @@ def _fit_epnp5(X, xn, idx):
             diff = jnp.einsum("k,kpi->pi", bs, dv)          # (6, 3)
             r = jnp.sum(diff**2, axis=-1) - dw2             # (6,)
             J = 2.0 * jnp.einsum("pi,kpi->pk", diff, dv)    # (6, 2)
-            JtJ = J.T @ J + 1e-8 * jnp.eye(2, dtype=J.dtype)
-            new = bs - jnp.linalg.solve(JtJ, J.T @ r)
+            JtJ = mm(J.T, J) + 1e-8 * jnp.eye(2, dtype=J.dtype)
+            new = bs - jnp.linalg.solve(JtJ, mm(J.T, r))
             return jnp.where(jnp.all(jnp.isfinite(new)), new, bs), None
         out, _ = jax.lax.scan(step, betas, None, length=5)
         return out
 
     def pose_from_betas(betas):
         cc = jnp.einsum("k,kij->ij", betas, vk)  # camera-frame ctrl (4, 3)
-        pc = alphas @ cc                          # camera-frame sample points
+        pc = mm(alphas, cc)                       # camera-frame sample points
         # EPnP sign convention: points must sit in front of the camera.
         flip = jnp.where(jnp.mean(pc[:, 2]) < 0.0, -1.0, 1.0)
         return _procrustes_pose(Xs, pc * flip)
@@ -179,6 +180,130 @@ def _fit_epnp5(X, xn, idx):
     R1, t1 = pose_from_betas(gn_refine(betas1))
     R2, t2 = pose_from_betas(gn_refine(betas2))
     return jnp.stack([R1, R2]), jnp.stack([t1, t2])
+
+
+def _quartic_roots(a3, a2, a1, a0, dk_iters: int = 40,
+                   newton_iters: int = 3):
+    """All (up to 4) real roots of v^4 + a3 v^3 + a2 v^2 + a1 v + a0.
+
+    Durand-Kerner simultaneous iteration in complex64 — branch-free, batched
+    and, unlike an f32 Ferrari factorisation, robust when roots cluster (a
+    clustered-root Ferrari loses real roots to cancellation in the resolvent
+    split, which silently drops valid P3P poses).  Real roots are polished
+    with a few Newton steps on the original quartic.
+    Returns (roots (..., 4), valid (..., 4))."""
+    c3 = a3.astype(jnp.complex64)
+    c2 = a2.astype(jnp.complex64)
+    c1 = a1.astype(jnp.complex64)
+    c0 = a0.astype(jnp.complex64)
+
+    def poly(z):
+        return (((z + c3[..., None]) * z + c2[..., None]) * z
+                + c1[..., None]) * z + c0[..., None]
+
+    # Cauchy bound scaled initial ring, rotationally asymmetric (0.4+0.9i).
+    bound = 1.0 + jnp.maximum(
+        jnp.maximum(jnp.abs(a3), jnp.abs(a2)),
+        jnp.maximum(jnp.abs(a1), jnp.abs(a0)),
+    )
+    seed = jnp.asarray(0.4 + 0.9j, jnp.complex64) ** jnp.arange(1, 5)
+    z = bound[..., None].astype(jnp.complex64) * seed
+
+    def dk_body(z, _):
+        pz = poly(z)
+        diff = z[..., :, None] - z[..., None, :]
+        diff = diff + jnp.eye(4, dtype=z.dtype)  # self-diff -> 1
+        denom = jnp.prod(diff, axis=-1)
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        return z - pz / denom, None
+
+    z, _ = jax.lax.scan(dk_body, z, None, length=dk_iters)
+    real_ok = jnp.abs(z.imag) <= 1e-3 * (1.0 + jnp.abs(z.real))
+    roots = z.real
+
+    def newton_body(roots, _):
+        f = (((roots + a3[..., None]) * roots + a2[..., None]) * roots
+             + a1[..., None]) * roots + a0[..., None]
+        df = ((4.0 * roots + 3.0 * a3[..., None]) * roots
+              + 2.0 * a2[..., None]) * roots + a1[..., None]
+        df = jnp.where(jnp.abs(df) < 1e-12, 1e-12, df)
+        return roots - f / df, None
+
+    roots, _ = jax.lax.scan(newton_body, roots, None, length=newton_iters)
+    return roots, real_ok & jnp.isfinite(roots)
+
+
+def _fit_p3p(X, xn, idx):
+    """Grunert P3P on a 3-point sample -> up to four candidate (R, t).
+
+    Reference parity: the reference's Registrant enum offers SOLVEPNP_P3P
+    (src/Reconstruction/Registrant.cpp:52-57); this is the TPU-native
+    batched equivalent — closed-form quartic (Haralick et al. 1994 review,
+    Grunert 1841 formulation), every branch mask-based, candidates competing
+    in the ordinary RANSAC scoring pass (which also supplies the 4th-point
+    disambiguation cv::solveP3P leaves to the caller).
+    Returns (R (4, 3, 3), t (4, 3)); failed roots yield non-finite poses
+    that score zero inliers."""
+    Xs = X[idx]                                  # (3, 3)
+    xs = xn[idx]                                 # (3, 2)
+    f = jnp.concatenate([xs, jnp.ones((3, 1), xs.dtype)], axis=1)
+    f = f / jnp.linalg.norm(f, axis=1, keepdims=True)   # unit bearings
+
+    A = jnp.sum((Xs[1] - Xs[2]) ** 2)            # a^2 (opposite P1)
+    B = jnp.sum((Xs[0] - Xs[2]) ** 2)            # b^2
+    C = jnp.sum((Xs[0] - Xs[1]) ** 2)            # c^2
+    # Elementwise sums, NOT jnp.dot: tiny contractions hit the MXU in bf16
+    # by default on TPU and 0.4%-noisy cosines wreck the quartic.
+    p2 = 2.0 * jnp.sum(f[1] * f[2])              # 2 cos(alpha)
+    q2 = 2.0 * jnp.sum(f[0] * f[2])              # 2 cos(beta)
+    r2 = 2.0 * jnp.sum(f[0] * f[1])              # 2 cos(gamma)
+
+    Bs = jnp.where(jnp.abs(B) < 1e-12, 1e-12, B)
+    k = (A - C) / Bs
+    m = C / Bs
+    # u = N(v)/D(v) with N = (k-1)v^2 - k q v + (k+1), D = r - p v; the
+    # second Grunert equation then gives the quartic
+    #   N^2 - r N D + D^2 (1 - m - m v^2 + m q v) = 0.
+    n2, n1, n0 = k - 1.0, -k * q2, k + 1.0
+    d1, d0 = -p2, r2
+    e2, e1, e0 = -m, m * q2, 1.0 - m
+    # Polynomial products (coefficients by descending degree).
+    nn = jnp.stack([n2 * n2, 2 * n2 * n1, 2 * n2 * n0 + n1 * n1,
+                    2 * n1 * n0, n0 * n0])                       # N^2, deg 4
+    nd = jnp.stack([n2 * d1, n2 * d0 + n1 * d1,
+                    n1 * d0 + n0 * d1, n0 * d0])                 # N D, deg 3
+    dd = jnp.stack([d1 * d1, 2 * d1 * d0, d0 * d0])              # D^2, deg 2
+    dde = jnp.stack([
+        dd[0] * e2,
+        dd[0] * e1 + dd[1] * e2,
+        dd[0] * e0 + dd[1] * e1 + dd[2] * e2,
+        dd[1] * e0 + dd[2] * e1,
+        dd[2] * e0,
+    ])                                                           # deg 4
+    c4 = nn[0] + dde[0]
+    c3 = nn[1] - r2 * nd[0] + dde[1]
+    c2 = nn[2] - r2 * nd[1] + dde[2]
+    c1 = nn[3] - r2 * nd[2] + dde[3]
+    c0 = nn[4] - r2 * nd[3] + dde[4]
+    c4s = jnp.where(jnp.abs(c4) < 1e-12, 1e-12, c4)
+    v_roots, v_ok = _quartic_roots(c3 / c4s, c2 / c4s, c1 / c4s, c0 / c4s)
+
+    def pose_from_v(v, ok):
+        D = r2 - p2 * v
+        Ds = jnp.where(jnp.abs(D) < 1e-9, 1e-9, D)
+        u = ((k - 1.0) * v * v - k * q2 * v + (k + 1.0)) / Ds
+        denom = 1.0 + v * v - q2 * v
+        denom = jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+        s1 = jnp.sqrt(jnp.maximum(B / denom, 0.0))
+        s = jnp.stack([s1, u * s1, v * s1])
+        ok = ok & jnp.all(s > 1e-9)
+        pc = s[:, None] * f                       # camera-frame points (3,3)
+        R, t = _procrustes_pose(Xs, pc)
+        return (jnp.where(ok, R, jnp.full((3, 3), jnp.nan, R.dtype)),
+                jnp.where(ok, t, jnp.full((3,), jnp.nan, t.dtype)))
+
+    R4, t4 = jax.vmap(pose_from_v)(v_roots, v_ok)
+    return R4, t4
 
 
 def _reproj_err_px(K, R, t, X, uv):
@@ -211,8 +336,10 @@ def estimate_pnp_ransac(
 
     X: (N, 3) world points; uv: (N, 2) pixels; mask: (N,) validity.
     method: "p6p" (6-point DLT) | "epnp" (5-point EPnP, two beta-case
-    models per sample).  Returns dict(R, t, angle_axis, inliers,
-    num_inliers, success, mean_inlier_error_px).
+    models per sample) | "p3p" (3-point Grunert quartic, up to four
+    models per sample; the minimal sample maximises the all-inlier
+    probability per hypothesis at low inlier ratios).  Returns dict(R, t,
+    angle_axis, inliers, num_inliers, success, mean_inlier_error_px).
     """
     X = X.astype(jnp.float32)
     uv = uv.astype(jnp.float32)
@@ -224,6 +351,11 @@ def estimate_pnp_ransac(
         sets = sample_minimal_sets(key, num_hyps, n, 5, mask)
         R, t = jax.vmap(lambda idx: _fit_epnp5(X, xn, idx))(sets)
         R = R.reshape(-1, 3, 3)  # (2*M, 3, 3): both beta cases compete
+        t = t.reshape(-1, 3)
+    elif method == "p3p":
+        sets = sample_minimal_sets(key, num_hyps, n, 3, mask)
+        R, t = jax.vmap(lambda idx: _fit_p3p(X, xn, idx))(sets)
+        R = R.reshape(-1, 3, 3)  # (4*M, 3, 3): all quartic roots compete
         t = t.reshape(-1, 3)
     elif method == "p6p":
         sets = sample_minimal_sets(key, num_hyps, n, 6, mask)
@@ -255,8 +387,8 @@ def estimate_pnp_ransac(
         ).astype(jnp.float32)
         J = jax.jacfwd(residuals)(params, w)  # (2N, 6)
         r = residuals(params, w)
-        JtJ = J.T @ J
-        Jtr = J.T @ r
+        JtJ = mm(J.T, J)
+        Jtr = mm(J.T, r)
         # Levenberg damping keeps the step safe when inlier geometry is thin.
         damp = 1e-6 * jnp.trace(JtJ) / 6.0
         step = jnp.linalg.solve(JtJ + damp * jnp.eye(6, dtype=JtJ.dtype), Jtr)

@@ -60,6 +60,7 @@ class FeatureExtractor:
                 self._sift = SIFT(
                     num_features=self.cfg.num_features,
                     normalization=self.cfg.normalization,
+                    decay_octave_budget=self.cfg.decay_octave_budget,
                 )
             else:
                 import cv2

@@ -14,6 +14,7 @@ the COLMAP text export consumed downstream.
 from __future__ import annotations
 
 import jax.numpy as jnp
+from monocularsfm_tpu.utils.precision import mm
 
 _EPS = 1e-12
 
@@ -39,7 +40,7 @@ def angle_axis_to_matrix(aa: jnp.ndarray) -> jnp.ndarray:
         axis=-2,
     )  # (..., 3, 3) skew-symmetric
     eye = jnp.broadcast_to(jnp.eye(3, dtype=aa.dtype), K.shape)
-    K2 = K @ K
+    K2 = mm(K, K)
     return eye + sinc[..., None, None] * K + cosc[..., None, None] * K2
 
 

@@ -58,11 +58,12 @@ def _top_k_large(x: jnp.ndarray, k: int):
 
     XLA:TPU's exact top-k emitter (jellyfish TopkEmitter, windowed-R2 path)
     check-fails on multi-megapixel rows (observed at 14.7M elements, k=4096,
-    v5e).  On TPU we route long rows through `lax.approx_max_k`
-    (recall_target 0.99 — the candidate sets here are score arrays where a
-    <1% recall loss only perturbs which of the weakest candidates make the
-    fixed budget); short rows and non-TPU backends keep exact `lax.top_k`
-    (CPU tests are bit-exact).
+    v5e).  On TPU we route long rows through `lax.approx_max_k` with
+    recall_target 0.99 — each element, including a genuinely strong
+    extremum, has up to ~1% probability of being dropped, so TPU and CPU
+    candidate sets can differ slightly; downstream ratio/cross-check
+    matching and RANSAC absorb the difference.  Short rows and non-TPU
+    backends keep exact `lax.top_k` (CPU tests are bit-exact).
     """
     if x.shape[-1] <= 16384 or jax.default_backend() != "tpu":
         return jax.lax.top_k(x, k)
@@ -487,12 +488,19 @@ class SIFT:
 
     def __init__(self, num_features: int = 8024, k_per_octave: int = 4096,
                  upsample: bool = True, normalization: str = "l1_root",
-                 contrast_threshold: float = CONTRAST_THRESHOLD):
+                 contrast_threshold: float = CONTRAST_THRESHOLD,
+                 decay_octave_budget: bool = True):
         self.num_features = num_features
         self.k_per_octave = k_per_octave
         self.upsample = upsample
         self.normalization = normalization
         self.contrast_threshold = contrast_threshold
+        # Halve the candidate budget per octave past the second (perf lever:
+        # the orientation/descriptor gather cost scales with the budget and
+        # real images concentrate surviving features in the first octaves).
+        # decay_octave_budget=False restores the keep-all-then-select-top
+        # policy for coarse-scale-dominated scenes.
+        self.decay_octave_budget = decay_octave_budget
 
     def extract(self, image: np.ndarray):
         """image: (H, W) uint8 or float in [0, 255]."""
@@ -529,7 +537,10 @@ class SIFT:
             # resolution and below buy capacity that top-feature selection
             # then discards.  Small octaves also have fewer pixels than the
             # budget.
-            k_oct = max(self.k_per_octave >> max(0, o - 1), 256)
+            if self.decay_octave_budget:
+                k_oct = max(self.k_per_octave >> max(0, o - 1), 256)
+            else:
+                k_oct = self.k_per_octave
             k_oct = min(k_oct, N_SCALES * h * w_)
             det = _detect_octave_batched(gauss, k_oct, self.contrast_threshold)
             angles, avalid, desc = _orient_describe_batched(gauss, det)

@@ -10,7 +10,13 @@ fixed-shape batched JAX with a lax.while_loop trust-region driver.
 from monocularsfm_tpu.optim.ba import (
     BundleProblem,
     bundle_adjust,
+    bundle_adjust_refine_focal,
     make_bundle_problem,
 )
 
-__all__ = ["BundleProblem", "bundle_adjust", "make_bundle_problem"]
+__all__ = [
+    "BundleProblem",
+    "bundle_adjust",
+    "bundle_adjust_refine_focal",
+    "make_bundle_problem",
+]

@@ -32,16 +32,22 @@ TPU-native design decisions (not a Ceres translation):
   block-diagonal U~ preconditioner — the ITERATIVE_SCHUR analogue, and the
   piece that shards over a mesh by splitting points (psum reduces the
   camera-side products; see parallel/distributed_ba.py).
-* The PCG path is *flash-style*: per-observation Jacobian blocks are never
-  materialised in HBM.  TPU tiling pads the minor two dims of every f32
-  array to (8, 128), so an O-sized (obs, 6, 3) tensor inflates ~57x (a
-  200k-point / 8M-observation bundle would need 34 GB for one buffer).
-  Instead every pass (system build, each CG matvec, back-substitution,
-  predicted reduction) is a lax.scan over observation-row chunks that
-  rebuilds the closed-form Jacobians from (R, t, X, K) in registers and
-  reduces immediately into compact (C, 36) / (Pn, 9) accumulators laid out
-  with large minor dims.  Rebuilding costs ~100 VPU flops/obs — cheaper
-  than re-reading a 72-byte cached W block from HBM.
+* The PCG path (ITERATIVE_SCHUR analogue) has two implementations.  The
+  default cached-block path (`pcg_cached`) builds the system ONCE per LM
+  iteration in a component-wise chunked pass — every per-observation
+  quantity is a plain (T, chunk) f32 array, because TPU tiling pads the
+  minor two dims of every f32 array to (8, 128) and an (obs, 2, 6) tensor
+  inflates ~85x — and caches the Schur coupling blocks W in two
+  tile-friendly layouts: point-major (T, 3, 6, P) and camera-sorted
+  (3, 6, Opad) with 128-aligned per-camera segments.  Camera/point
+  reductions are in-block sums plus exact bounded boundary gathers (no
+  scatter, no one-hot, no long-cumsum cancellation); the per-observation
+  camera payload travels through one wide row-gather (TPU gathers run at
+  tile-row granularity).  Each CG matvec is then pure cached reads —
+  HBM-bandwidth-bound — and CG exits early on ||r|| <= pcg_rtol * ||rhs||.
+  The flash fallback (unsorted point_rows) instead rebuilds closed-form
+  Jacobians inside every pass and reduces immediately into compact
+  accumulators — correct anywhere, ~40x slower at 1M observations.
 * The trust-region loop is a lax.while_loop — classic LM radius control
   (accept if rho > 0, grow/shrink radius as Ceres does), fixed shapes, no
   host round-trips inside the solve.
@@ -315,6 +321,20 @@ def bundle_adjust(
         out["cost_initial"] = first["cost_initial"]
         out["rmse_initial"] = first["rmse_initial"]
     return out
+
+
+def bundle_adjust_refine_focal(
+    prob: BundleProblem,
+    max_iterations: int = 50,
+    **kwargs,
+) -> dict[str, Any]:
+    """Shared-focal bundle adjustment (reference refine_focal_length option,
+    CeresBundleOptimizer.cpp:76-121): the two global (fx, fy) columns ride
+    inside the dense Schur-reduced camera system, so LM walks the f/Z valley
+    jointly with poses and points."""
+    return bundle_adjust(
+        prob, max_iterations=max_iterations, refine_focal=True, **kwargs
+    )
 
 
 def bundle_adjust_impl(

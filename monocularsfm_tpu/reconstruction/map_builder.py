@@ -175,12 +175,17 @@ class MapBuilder:
             self.map.add_image_pose(image_id, R, t)
             self.register_graph.set_registered(image_id)
             im = self.map.images[image_id]
+            # Points this image already observes (through any keypoint) —
+            # O(kps) once from the keypoint back-pointers instead of
+            # rebuilding the track list per inlier (O(track x inliers)).
+            seen = set(im.point3D[im.point3D >= 0].tolist())
             for j in np.nonzero(inl)[0]:
                 k, pid = int(kpt_idx[j]), int(pids[j])
                 if im.point3D[k] < 0 and self.map._alive[pid] and (
-                    image_id not in [i for i, _ in self.map.track(pid)]
+                    pid not in seen
                 ):
                     self.map.add_observation(pid, image_id, k)
+                    seen.add(pid)
             self._log(
                 f"[register] image {image_id}: {stats.num_inliers}/"
                 f"{stats.num_point2D_3D_correspondences} inliers, "
@@ -296,6 +301,22 @@ class MapBuilder:
                 solve_mode="dense" if dense else "pcg",
                 pcg_iters=bcfg.pcg_iterations,
             )
+            # Shared-focal columns ride the dense Schur system
+            # (CeresBundleOptimizer.cpp:76-121, refine_focal_length option);
+            # the PCG path has no focal columns — warn rather than silently
+            # dropping the knob at scale.
+            if self.cfg.bundle.refine_focal_length:
+                if dense:
+                    kwargs["refine_focal"] = True
+                else:
+                    from monocularsfm_tpu.utils.caps import warn_cap
+
+                    warn_cap(
+                        "refine_focal_length requested but bundle has %d "
+                        "images (> dense_max_images=%d): the PCG path has "
+                        "no shared-focal columns; keeping K fixed", n_imgs,
+                        bcfg.dense_max_images,
+                    )
             # MONOSFM_DUMP_BA=path snapshots every global-BA problem to host
             # numpy BEFORE the solve: a TPU worker crash makes the device
             # arrays unreachable, so a post-mortem fetch cannot work.

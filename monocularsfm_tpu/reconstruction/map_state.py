@@ -999,7 +999,11 @@ class Map:
         )
 
     def update_from_ba(self, result, image_ids: list[int], pids: list[int]):
-        """Write back optimised poses/points (Map.cpp:1175-1206)."""
+        """Write back optimised poses/points (Map.cpp:1175-1206); with
+        refine_focal the shared (fx, fy) come back through result["K"]."""
+        if "K" in result:
+            K4 = np.asarray(result["K"], np.float64)
+            self.K[0, 0], self.K[1, 1] = K4[0], K4[1]
         R = np.asarray(result["R"], np.float64)
         t = np.asarray(result["t"], np.float64)
         X = np.asarray(result["X"], np.float64)

@@ -67,7 +67,7 @@ class Registrant:
         # hypothesis rounds until the classic 1-(1-w^m)^k >= confidence bound
         # holds for the best model seen (cv::solvePnPRansac's adaptive
         # termination, inverted for batch hardware).
-        sample_size = 5 if cfg.pnp_method == "epnp" else 6
+        sample_size = {"p3p": 3, "epnp": 5}.get(cfg.pnp_method, 6)
         max_rounds = 4
         out = run_round()
         rounds = 1

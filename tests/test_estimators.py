@@ -256,3 +256,61 @@ class TestPnP:
         R_err = np.degrees(np.arccos(np.clip(
             (np.trace(np.asarray(out["R"]).T @ s.R[c]) - 1) / 2, -1, 1)))
         assert bool(out["success"]) and R_err < 1.0, R_err
+
+    def test_p3p_minimal_exact(self, ring_scene):
+        """Noise-free 3-point fit: one of the Grunert quartic roots must be
+        the exact pose (Registrant.cpp:52-57 SOLVEPNP_P3P parity)."""
+        from monocularsfm_tpu.estimators.pnp import _fit_p3p
+
+        s = ring_scene
+        c = 4
+        vis = np.nonzero(s.visible[c])[0][:3]
+        X = jnp.asarray(s.points[vis], jnp.float32)
+        uv = s.observations[c][vis]
+        K = s.K
+        xn = jnp.asarray(np.stack([
+            (uv[:, 0] - K[0, 2]) / K[0, 0],
+            (uv[:, 1] - K[1, 2]) / K[1, 1],
+        ], axis=-1), jnp.float32)
+        R4, t4 = _fit_p3p(X, xn, jnp.arange(3))
+        errs = []
+        for i in range(4):
+            Ri, ti = np.asarray(R4[i]), np.asarray(t4[i])
+            if not np.all(np.isfinite(Ri)):
+                continue
+            errs.append(np.degrees(np.arccos(np.clip(
+                (np.trace(Ri.T @ s.R[c]) - 1) / 2, -1, 1)))
+                + np.linalg.norm(ti - s.t[c]))
+        # f32 quartic + Procrustes resolves the true root to ~1 degree even
+        # on narrow-FOV (ill-conditioned) samples — far from the spurious
+        # roots (~100 deg); RANSAC scoring + GN polish finish the job in use.
+        assert errs and min(errs) < 2.0, errs
+
+    def test_p3p_ransac_recovers_pose(self, ring_scene):
+        s = ring_scene
+        rng = np.random.default_rng(17)
+        c = 6
+        vis = s.visible[c]
+        X = s.points[vis]
+        uv = s.observations[c][vis].copy()
+        n = len(X)
+        uv += rng.normal(scale=0.4, size=uv.shape)
+        n_out = int(0.5 * n)
+        oi = rng.choice(n, n_out, replace=False)
+        uv[oi] = rng.uniform(0, [s.width, s.height], size=(n_out, 2))
+        cap = 512
+        k = min(n, cap)
+        Xp = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        Xp[:k], uvp[:k], m[:k] = X[:k], uv[:k], True
+        out = estimate_pnp_ransac(
+            jax.random.PRNGKey(2), jnp.asarray(s.K.astype(np.float32)),
+            jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(m),
+            threshold_px=4.0, num_hyps=512, method="p3p",
+        )
+        assert bool(out["success"])
+        R_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(out["R"]).T @ s.R[c]) - 1) / 2, -1, 1)))
+        assert R_err < 1.0, R_err
+        assert np.linalg.norm(np.asarray(out["t"]) - s.t[c]) < 0.05

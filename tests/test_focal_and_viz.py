@@ -3,7 +3,7 @@
 import dataclasses
 import numpy as np
 
-from monocularsfm_tpu.optim.focal import bundle_adjust_refine_focal
+from monocularsfm_tpu.optim import bundle_adjust_refine_focal
 from tests.test_bundle_adjustment import _build_problem
 
 
