@@ -231,17 +231,19 @@ def measure_matching():
     import jax
     import jax.numpy as jnp
 
-    from monocularsfm_tpu.ops.matching import match_descriptors_pair
+    from monocularsfm_tpu.ops.matching import match_descriptors_pair_auto
 
     descs = [jnp.asarray(d) for d in _match_bank()]
     mask = jnp.ones(MATCH_CAP, bool)
-    out = match_descriptors_pair(descs[0], descs[1], mask, mask)
-    jax.block_until_ready(out)
-    reps, t0 = 16, time.perf_counter()
-    for r in range(reps):
-        out = match_descriptors_pair(
+    out = match_descriptors_pair_auto(descs[0], descs[1], mask, mask)
+    np.asarray(out)  # hard sync — block_until_ready alone is unreliable
+    reps, t0 = 64, time.perf_counter()  # over the remote axon tunnel
+    outs = [
+        match_descriptors_pair_auto(
             descs[r % 8], descs[(r + 1) % 8], mask, mask)
-    jax.block_until_ready(out)
+        for r in range(reps)
+    ]
+    np.asarray(sum(jnp.sum(o) for o in outs))  # forces every dispatch
     dt = time.perf_counter() - t0
     log(f"[match] backend={jax.default_backend()} cap={MATCH_CAP}: "
         f"{reps} pairs in {dt:.2f}s -> {reps/dt:.2f} pairs/s")

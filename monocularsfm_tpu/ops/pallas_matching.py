@@ -45,8 +45,11 @@ def _match_tile_kernel(
     Tr = a_ref.shape[0]
     Tc = b_ref.shape[0]
 
+    # Explicit bf16 operands: keeps the single-pass MXU path regardless of
+    # the package-wide jax_default_matmul_precision=float32 (same semantics
+    # as the XLA matcher, which also casts descriptors to bf16).
     sims = jax.lax.dot_general(
-        a_ref[:], b_ref[:],
+        a_ref[:].astype(jnp.bfloat16), b_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (Tr, Tc)

@@ -104,3 +104,17 @@ def test_shipped_example_configs_load():
         assert cfg.camera.fx > 0, path.name
         seen += 1
     assert seen >= 4
+
+
+def test_package_defaults_f32_matmul_precision():
+    """Round-4 triage: TPU MXU bf16 default matmul precision degraded TPU
+    registration residuals to ~2 px (CPU: 0.45 px) through the matmuls
+    inside jnp.linalg decompositions, which per-op Precision.HIGHEST
+    annotations cannot reach.  The package import must pin the f32 default
+    (monocularsfm_tpu/__init__.py); deliberate bf16 fast paths cast their
+    operands explicitly."""
+    import jax
+
+    import monocularsfm_tpu  # noqa: F401
+
+    assert jax.config.jax_default_matmul_precision == "float32"

@@ -95,6 +95,10 @@ def main():
     ap.add_argument("--render-only", action="store_true")
     ap.add_argument("--stage", default="all",
                     choices=["all", "extract", "match", "reconstruct"])
+    ap.add_argument("--platform", default=None,
+                    help="jax platform override (e.g. cpu) — the image "
+                    "presets JAX_PLATFORMS=axon and imports jax in "
+                    "sitecustomize, so the env var alone cannot switch")
     args = ap.parse_args()
 
     data_dir = pathlib.Path(args.data)
@@ -104,6 +108,9 @@ def main():
         return
 
     import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     if jax.config.jax_compilation_cache_dir is None:
         jax.config.update("jax_compilation_cache_dir",
