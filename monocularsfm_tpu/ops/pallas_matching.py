@@ -45,13 +45,16 @@ def _match_tile_kernel(
     Tr = a_ref.shape[0]
     Tc = b_ref.shape[0]
 
-    # Explicit bf16 operands: keeps the single-pass MXU path regardless of
-    # the package-wide jax_default_matmul_precision=float32 (same semantics
-    # as the XLA matcher, which also casts descriptors to bf16).
+    # Explicit bf16 operands + DEFAULT precision: the package-wide
+    # jax_default_matmul_precision=float32 would otherwise stamp an fp32
+    # contract precision on bf16 operands, which Mosaic rejects ("Bad lhs
+    # type"); bf16 x bf16 -> f32 accumulate is the intended single-pass MXU
+    # path (same semantics as the XLA matcher's explicit bf16 cast).
     sims = jax.lax.dot_general(
         a_ref[:].astype(jnp.bfloat16), b_ref[:].astype(jnp.bfloat16),
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.DEFAULT,
     )  # (Tr, Tc)
     sims = jnp.where(mb_ref[0, :].reshape(1, Tc) != 0, sims, NEG)
     sims = jnp.where(ma_ref[0, :].reshape(Tr, 1) != 0, sims, NEG)

@@ -37,7 +37,7 @@ def log(*a):
 
 
 def render_dataset(data_dir: pathlib.Path, num_images: int, width: int,
-                   height: int, seed: int):
+                   height: int, seed: int, arc_deg: float = 200.0):
     import cv2
 
     img_dir = data_dir / "images"
@@ -51,7 +51,8 @@ def render_dataset(data_dir: pathlib.Path, num_images: int, width: int,
     img_dir.mkdir(parents=True, exist_ok=True)
     t0 = time.perf_counter()
     images, K, R, t = render_multiplane_images(
-        scene_seed=seed, num_cameras=num_images, width=width, height=height)
+        scene_seed=seed, num_cameras=num_images, width=width, height=height,
+        arc_deg=arc_deg)
     for i in range(num_images):
         cv2.imwrite(str(img_dir / f"frame{i:04d}.png"), images[i])
     np.savez(gt_path, K=K, R=R, t=t)
@@ -92,6 +93,9 @@ def main():
     ap.add_argument("--overlap", type=int, default=12)
     ap.add_argument("--num-features", type=int, default=8024)
     ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--arc-deg", type=float, default=200.0,
+                    help="camera arc span; 200/128 images ~ 1.6 deg steps, "
+                    "a small-image smoke should scale the arc down too")
     ap.add_argument("--render-only", action="store_true")
     ap.add_argument("--stage", default="all",
                     choices=["all", "extract", "match", "reconstruct"])
@@ -103,7 +107,7 @@ def main():
 
     data_dir = pathlib.Path(args.data)
     render_dataset(data_dir, args.num_images, args.width, args.height,
-                   args.seed)
+                   args.seed, args.arc_deg)
     if args.render_only:
         return
 
