@@ -55,10 +55,10 @@ def measure(mesh=None, label=""):
     else:
         run = lambda: bundle_adjust(prob, **kw)
     out = run()
-    jax.block_until_ready(out["cost_final"])
-    t0 = time.perf_counter()
+    float(out["cost_final"])  # host transfer: hard sync (block_until_ready
+    t0 = time.perf_counter()  # is unreliable over the axon tunnel)
     out = run()
-    jax.block_until_ready(out["cost_final"])
+    float(out["cost_final"])
     dt = time.perf_counter() - t0
     n_it = int(out["iterations"])
     return {
