@@ -185,12 +185,15 @@ def match_pairs_batch(
             match_descriptors_pair_pallas,
         )
 
+        interpret = jax.default_backend() != "tpu"  # CPU tests run the
+        # kernel through the pallas interpreter (slow but exact)
+
         def one_p(pair):
             ia, ib = pair[0], pair[1]
             return match_descriptors_pair_pallas(
                 desc_bank[ia], desc_bank[ib], mask_bank[ia], mask_bank[ib],
                 ratio=ratio, max_distance=max_distance,
-                cross_check=cross_check,
+                cross_check=cross_check, interpret=interpret,
             )
 
         # lax.map (sequential) rather than vmap: each pallas_call already

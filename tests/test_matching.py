@@ -261,3 +261,26 @@ class TestVocabRetrieval:
         assert p(0, 1) in got
         assert p(2, 3) in got
         assert p(0, 2) not in got and p(1, 3) not in got
+
+
+def test_match_pairs_batch_pallas_kernel_parity(rng):
+    """kernel='pallas' (the TPU pipeline default) must agree with the XLA
+    scan matcher — on CPU the kernel runs through the pallas interpreter."""
+    import jax.numpy as jnp
+
+    from monocularsfm_tpu.ops.matching import match_pairs_batch
+
+    cap = 1024  # multiple of both matchers' tile sizes
+    base = rng.standard_normal((cap, 128)).astype(np.float32)
+    bank = []
+    for i in range(3):
+        d = base + 0.4 * rng.standard_normal(base.shape).astype(np.float32)
+        d /= np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-9)
+        bank.append(d)
+    bank = jnp.asarray(np.stack(bank))
+    masks = jnp.ones((3, cap), bool)
+    pairs = jnp.asarray([[0, 1], [1, 2]], jnp.int32)
+    out_xla = np.asarray(match_pairs_batch(bank, masks, pairs, kernel="xla"))
+    out_pal = np.asarray(
+        match_pairs_batch(bank, masks, pairs, kernel="pallas"))
+    np.testing.assert_array_equal(out_xla, out_pal)
