@@ -11,7 +11,7 @@ src/Optimizer/CeresBundleOptimizer.cpp:262-276).  `extra` carries the other
 hot-loop numbers the reference's pipeline is bounded by:
 
   * global_ba_pcg_1024cam   — 1024 cams / 200k pts / 1.2M obs through the
-                              matrix-free flash-PCG path (ITERATIVE_SCHUR
+                              cached-block PCG path (ITERATIVE_SCHUR
                               analogue), with an explicit FLOP/s estimate.
   * extraction_images_per_sec — SIFT at 1.2 MP (hot loop #1,
                               src/Feature/FeatureExtraction.cpp:59-161),
@@ -161,8 +161,9 @@ def measure_pcg(iters=PCG_LM_ITERS):
     dt = time.perf_counter() - t0
     n_it = int(out["iterations"])
     # Rough analytic FLOP estimate per LM iteration (documented, not
-    # measured): the flash-PCG pass rebuilds closed-form Jacobian blocks per
-    # observation — ~400 flops for the system build + ~250 per CG matvec.
+    # measured): one system-build pass (~400 flops/obs) plus cached-W CG
+    # matvecs (~250 flops/obs each, assuming the full pcg_iters budget —
+    # the rtol early exit makes this an upper bound on work done).
     flops_per_iter = nobs * (400 + 250 * PCG_INNER)
     gflops = flops_per_iter * n_it / dt / 1e9
     log(f"[pcg] {n_it} LM iters ({PCG_INNER} CG each) in {dt:.3f}s -> "
