@@ -29,4 +29,15 @@ import jax as _jax
 # explicitly, which the default does not upcast.
 _jax.config.update("jax_default_matmul_precision", "float32")
 
+# Persistent XLA compilation cache: remote TPU compiles cost 20-40 s per
+# shape over the axon tunnel; without a disk cache every fresh process pays
+# them again.  Respect an explicit user setting.
+if _jax.config.jax_compilation_cache_dir is None:
+    import pathlib as _pathlib
+
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        str(_pathlib.Path.home() / ".cache" / "monocularsfm_tpu_xla"),
+    )
+
 from monocularsfm_tpu import types  # noqa: F401

@@ -35,6 +35,11 @@ class ExtractionConfig:
     # Halve the per-octave candidate budget past the second octave (perf
     # lever); disable for scenes dominated by coarse-scale structure.
     decay_octave_budget: bool = True
+    # "patch": per-keypoint patches + interpolation matmuls (MXU path);
+    # "gather": scattered row-gathers (legacy formulation, for A/B).
+    sample_mode: str = "patch"
+    # Descriptor device->host dtype; float16 halves the transfer bytes.
+    transfer_dtype: str = "float16"
 
 
 @dataclasses.dataclass
@@ -60,6 +65,10 @@ class MatchingConfig:
     vocab_num_neighbors: int = 20    # retrieved partners per image
     # TPU-native knobs.
     pair_batch: int = 16             # image pairs matched per device dispatch
+    # "jax" (device-batched matcher + F-RANSAC) | "opencv" (cv2 BFMatcher +
+    # cv2.findFundamentalMat per pair — the reference's exact CPU path,
+    # FeatureUtils.cpp:160-206; used as the honest CPU baseline anchor).
+    backend: str = "jax"
 
 
 @dataclasses.dataclass
@@ -108,7 +117,7 @@ class RegistrantConfig:
     abs_pose_max_error_px: float = 4.0
     ransac_confidence: float = 0.9999  # adaptive-continuation bound
     ransac_iterations: int = 4096      # hypotheses per dispatch round
-    pnp_method: str = "epnp"  # p3p (3-pt Grunert) | epnp (5-pt) | p6p (DLT); ref enum P3P/AP3P/EPNP/UPNP
+    pnp_method: str = "epnp"  # p3p | ap3p | epnp (5-pt) | upnp (unknown focal) | p6p (DLT); ref enum P3P/AP3P/EPNP/UPNP (Registrant.cpp:38-65)
 
 
 @dataclasses.dataclass

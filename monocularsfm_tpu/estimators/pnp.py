@@ -83,6 +83,45 @@ def _fit_p6p(X, xn, idx=None, weights=None):
     return R, t
 
 
+def _fit_upnp6(X, uvc, idx=None):
+    """Unknown-focal resection from 6 points (the UPNP role of
+    cv::solvePnPRansac, Registrant.cpp:52-63).
+
+    uvc: principal-point-centred pixels (u-cx, v-cy).  Solves the DLT for
+    M = s*diag(f,f,1)[R|t] and peels the focal off the row norms: with
+    row3 = s*R3 (unit R3), s = ||m3|| and f = mean(||m1||,||m2||)/s; the
+    rotation is the Procrustes projection of diag(1/f,1/f,1) @ M onto
+    SO(3).  Returns (R (3,3), t (3), f scalar), batched over idx's leading
+    dims."""
+    if idx is not None:
+        X = X[idx]
+        uvc = uvc[idx]
+    rows = _p6p_rows(X, uvc)
+    rows = rows.reshape(rows.shape[:-3] + (-1, 12))
+    AtA = jnp.einsum("...ri,...rj->...ij", rows, rows, precision=_HIGHEST)
+    _, V = jnp.linalg.eigh(AtA)
+    p = V[..., :, 0]
+    P = p.reshape(p.shape[:-1] + (3, 4))
+    M = P[..., :, :3]
+    s = jnp.linalg.norm(M[..., 2, :], axis=-1)
+    s = jnp.where(s < 1e-12, 1e-12, s)
+    f = 0.5 * (
+        jnp.linalg.norm(M[..., 0, :], axis=-1)
+        + jnp.linalg.norm(M[..., 1, :], axis=-1)
+    ) / s
+    f = jnp.where(f < 1e-6, 1e-6, f)
+    invK = jnp.stack([1.0 / f, 1.0 / f, jnp.ones_like(f)], axis=-1)
+    Mn = invK[..., :, None] * M
+    U, S, Vt = jnp.linalg.svd(Mn)
+    detUV = jnp.linalg.det(mm(U, Vt))
+    D = jnp.ones(S.shape, S.dtype).at[..., 2].set(jnp.sign(detUV))
+    R = mm(U, D[..., :, None] * Vt)
+    scale = jnp.mean(S * D, axis=-1)
+    scale = jnp.where(jnp.abs(scale) < 1e-12, 1e-12, scale)
+    t = invK * P[..., :, 3] / scale[..., None]
+    return R, t, f
+
+
 _CTRL_PAIRS = ((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3))
 
 
@@ -347,12 +386,17 @@ def estimate_pnp_ransac(
     xn = jnp.stack([(uv[:, 0] - K[0, 2]) / fx, (uv[:, 1] - K[1, 2]) / fy], axis=-1)
 
     n = X.shape[0]
+    thr2 = jnp.asarray(threshold_px) ** 2
+    K_eff = K
     if method == "epnp":
         sets = sample_minimal_sets(key, num_hyps, n, 5, mask)
         R, t = jax.vmap(lambda idx: _fit_epnp5(X, xn, idx))(sets)
         R = R.reshape(-1, 3, 3)  # (2*M, 3, 3): both beta cases compete
         t = t.reshape(-1, 3)
-    elif method == "p3p":
+    elif method in ("p3p", "ap3p"):
+        # AP3P (Ke & Roumeliotis 2017) is an algebraically different route
+        # to the same up-to-4 solution set as Grunert's P3P; one batched
+        # quartic solver serves both enum values (Registrant.cpp:46-50).
         sets = sample_minimal_sets(key, num_hyps, n, 3, mask)
         R, t = jax.vmap(lambda idx: _fit_p3p(X, xn, idx))(sets)
         R = R.reshape(-1, 3, 3)  # (4*M, 3, 3): all quartic roots compete
@@ -360,11 +404,35 @@ def estimate_pnp_ransac(
     elif method == "p6p":
         sets = sample_minimal_sets(key, num_hyps, n, 6, mask)
         R, t = jax.vmap(lambda idx: _fit_p6p(X, xn, idx))(sets)  # (M,3,3), (M,3)
+    elif method == "upnp":
+        # Unknown-focal resection: each hypothesis carries its own focal and
+        # is scored with it; the winner's focal replaces K's for the polish.
+        # (The reference's EPNP enum *also* dispatches cv::SOLVEPNP_UPNP —
+        # Registrant.cpp:52-57 — but OpenCV >= 3.3 internally falls back to
+        # EPnP for UPNP, so our "epnp" matches the reference's actual
+        # behavior and "upnp" implements what the enum advertises.)
+        uvc = jnp.stack([uv[:, 0] - K[0, 2], uv[:, 1] - K[1, 2]], axis=-1)
+        sets = sample_minimal_sets(key, num_hyps, n, 6, mask)
+        R, t, f_hyp = jax.vmap(lambda idx: _fit_upnp6(X, uvc, idx))(sets)
+        xc = jnp.einsum(
+            "mij,nj->mni", R, X, precision=_HIGHEST) + t[:, None, :]
+        z = xc[..., 2]
+        behind = z <= 1e-6
+        zs = jnp.where(jnp.abs(z) < 1e-6, 1e-6, z)
+        u = f_hyp[:, None] * xc[..., 0] / zs + K[0, 2]
+        v = f_hyp[:, None] * xc[..., 1] / zs + K[1, 2]
+        err2 = (u - uv[None, :, 0]) ** 2 + (v - uv[None, :, 1]) ** 2
+        err2 = jnp.where(behind, 1e18, err2)
+        best, inl_best, counts = score_hypotheses(err2, mask, thr2)
+        f_best = f_hyp[best]
+        K_eff = K.at[0, 0].set(f_best).at[1, 1].set(f_best)
+        fx = fy = f_best
     else:
         raise ValueError(f"unknown pnp method {method!r}")
-    err2 = _reproj_err_px(K, R, t, X[None], uv[None])  # (M, N)
-    thr2 = jnp.asarray(threshold_px) ** 2
-    best, inl_best, counts = score_hypotheses(err2, mask, thr2)
+    if method != "upnp":
+        err2 = _reproj_err_px(K, R, t, X[None], uv[None])  # (M, N)
+        best, inl_best, counts = score_hypotheses(err2, mask, thr2)
+    K = K_eff
     R_best, t_best = R[best], t[best]
 
     # Gauss-Newton polish on the winner's inliers, in angle-axis + t.
@@ -421,4 +489,7 @@ def estimate_pnp_ransac(
         "num_inliers": num_inl,
         "success": num_inl >= 6,
         "mean_inlier_error_px": mean_err,
+        # Estimated focal (== the input K's for calibrated methods; the
+        # per-hypothesis estimate for "upnp").
+        "focal": K[0, 0],
     }

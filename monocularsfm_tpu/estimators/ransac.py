@@ -72,7 +72,7 @@ def rounds_to_confidence(
     num_valid: int,
     sample_size: int,
     hyps_per_round: int,
-    max_rounds: int = 4,
+    max_rounds: int | None = None,
 ) -> int:
     """Total hypothesis ROUNDS the classic termination bound demands.
 
@@ -82,7 +82,12 @@ def rounds_to_confidence(
     best model leaves the confidence bound unmet, the caller runs further
     identically-shaped rounds (same compiled program) and keeps the best.
     Returns the number of rounds (>= 1) needed given the best model so far,
-    capped at `max_rounds` (the single effective bound)."""
+    capped at `max_rounds`.  The default cap is derived so the total
+    hypothesis budget reaches the reference's 10000-iteration ceiling
+    (Initializer.cpp:103-159, Registrant.h:22-27) — the confidence bound is
+    then always honored, never silently truncated."""
+    if max_rounds is None:
+        max_rounds = max(1, math.ceil(10000 / max(hyps_per_round, 1)))
     need = num_ransac_iterations(
         confidence,
         inlier_count / max(num_valid, 1),

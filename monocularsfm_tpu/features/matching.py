@@ -150,10 +150,76 @@ class _MatcherBase:
             rounds += 1
         return [inl[p, : len(a)] for p, (a, _) in enumerate(uv_pairs)]
 
+    # -- OpenCV CPU backend (the reference's exact match path) ---------------
+    def _match_and_verify_pairs_cv2(self, db, bank, mask, kps, image_ids,
+                                    pairs, log=print) -> int:
+        """Per-pair cv2 BFMatcher knn2 + ratio + cross-check + distance
+        filter + cv2.findFundamentalMat — byte-for-byte the reference's CPU
+        matching loop (FeatureUtils.cpp:141-206, FeatureMatching.cpp:10-73).
+        This is the honest CPU-baseline anchor, NOT a TPU path."""
+        import cv2
+
+        bank_h = np.asarray(bank)
+        mask_h = np.asarray(mask)
+        row_of = {i: r for r, i in enumerate(image_ids)}
+        cfg = self.cfg
+        matcher = cv2.BFMatcher(cv2.NORM_L2)
+        written = 0
+        for a, b in pairs:
+            if db.exist_matches(a, b):
+                continue
+            d1 = bank_h[row_of[a]][mask_h[row_of[a]]]
+            d2 = bank_h[row_of[b]][mask_h[row_of[b]]]
+
+            def ratio_matches(da, db_):
+                out = {}
+                if len(da) < 2 or len(db_) < 2:
+                    return out
+                for m in matcher.knnMatch(da, db_, k=2):
+                    if len(m) == 2 and m[0].distance < \
+                            cfg.distance_ratio * m[1].distance:
+                        out[m[0].queryIdx] = (m[0].trainIdx, m[0].distance)
+                return out
+
+            m12 = ratio_matches(d1, d2)
+            m21 = ratio_matches(d2, d1)
+            # CrossCheck (FeatureUtils.cpp:281-310) + distance filter.
+            if cfg.cross_check:
+                keep = [
+                    (q, t, dd) for q, (t, dd) in m12.items()
+                    if m21.get(t, (-1, 0))[0] == q
+                ]
+            else:
+                keep = [(q, t, dd) for q, (t, dd) in m12.items()]
+            keep = [(q, t) for q, t, dd in keep if dd <= cfg.max_distance]
+            if len(keep) < cfg.min_num_matches_verified:
+                db.write_matches(a, b, np.zeros((0, 2), np.int32))
+                continue
+            i_idx = np.asarray([q for q, _ in keep], np.int32)
+            j_idx = np.asarray([t for _, t in keep], np.int32)
+            pts1 = kps[a][i_idx, :2].astype(np.float32)
+            pts2 = kps[b][j_idx, :2].astype(np.float32)
+            _, inl = cv2.findFundamentalMat(
+                pts1, pts2, cv2.FM_RANSAC, cfg.ransac_threshold_px,
+                cfg.ransac_confidence)
+            if inl is None:
+                inl = np.zeros(len(pts1), np.uint8)
+            inl = inl.ravel().astype(bool)
+            m = np.stack([i_idx[inl], j_idx[inl]], axis=1).astype(np.int32)
+            if len(m) < cfg.min_num_matches_verified:
+                m = np.zeros((0, 2), np.int32)
+            db.write_matches(a, b, m)
+            written += 1
+            log(f"[match] ({a},{b}): {len(i_idx)} raw -> {len(m)} verified")
+        return written
+
     # -- one batched dispatch over a pair slab -------------------------------
     def _match_and_verify_pairs(self, db, bank, mask, kps, image_ids, pairs,
                                 log=print) -> int:
         """pairs: list of (image_id_a, image_id_b). Returns #pairs written."""
+        if getattr(self.cfg, "backend", "jax") == "opencv":
+            return self._match_and_verify_pairs_cv2(
+                db, bank, mask, kps, image_ids, pairs, log)
         row_of = {i: r for r, i in enumerate(image_ids)}
         written = 0
         mesh = self._match_mesh()

@@ -141,9 +141,6 @@ def match_descriptors_pair(
     return jnp.where(ok, i1, -1).astype(jnp.int32)
 
 
-# Batched variant: one dispatch matches a slab of pairs. Gathers the per-image
-# descriptor slabs from a device-resident bank — the scheduling (which pairs)
-# stays on host, the O(pairs * N^2 * D) math stays on the MXU.
 @functools.partial(
     jax.jit,
     static_argnames=("ratio", "max_distance", "cross_check", "col_tile"),
@@ -162,6 +159,14 @@ def match_descriptors_pair_auto(desc_a, desc_b, mask_a, mask_b, **kw):
     return match_descriptors_pair(desc_a, desc_b, mask_a, mask_b, **kw)
 
 
+# Batched variant: one dispatch matches a slab of pairs. Gathers the per-image
+# descriptor slabs from a device-resident bank — the scheduling (which pairs)
+# stays on host, the O(pairs * N^2 * D) math stays on the MXU.
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "ratio", "max_distance", "cross_check", "col_tile", "kernel"),
+)
 def match_pairs_batch(
     desc_bank: jnp.ndarray,   # (num_images, N, D)
     mask_bank: jnp.ndarray,   # (num_images, N)

@@ -124,12 +124,36 @@ def _base_image(img: jnp.ndarray, upsample: bool = True) -> jnp.ndarray:
 
 
 def _build_octave(base: jnp.ndarray) -> jnp.ndarray:
-    """base (H, W) already at sigma0 -> gaussian stack (N_SCALES+3, H, W)."""
-    _, incr = _octave_sigmas()
-    imgs = [base]
-    for s in incr:
-        imgs.append(_blur2d(imgs[-1], gaussian_kernel1d(s)))
-    return jnp.stack(imgs)
+    """base (H, W) already at sigma0 -> gaussian stack (N_SCALES+3, H, W).
+
+    All S+2 scales are blurred directly from the base with composed sigmas
+    (Gaussian semigroup: identical math to OpenCV's incremental schedule,
+    up to kernel truncation) so ONE channelized conv pair replaces 2*(S+2)
+    sequential single-channel convs — XLA:TPU runs thin 1-channel convs far
+    below memory speed, and the sequential chain serializes them."""
+    out = _build_octave_batched(base[None])
+    return out[0]
+
+
+def _octave_base_kernels():
+    """Per-scale direct-from-base blur kernels, padded to a common radius.
+
+    Returns (C, T) float32 with C = N_SCALES + 2 rows."""
+    k = 2.0 ** (1.0 / N_SCALES)
+    kers = []
+    for i in range(1, N_SCALES + 3):
+        sig_total = SIGMA0 * (k ** i)
+        sig = math.sqrt(max(sig_total ** 2 - SIGMA0 ** 2, 1e-8))
+        kers.append(gaussian_kernel1d(sig))
+    rmax = max((len(kk) - 1) // 2 for kk in kers)
+    K = np.zeros((len(kers), 2 * rmax + 1), np.float32)
+    for c, kk in enumerate(kers):
+        r = (len(kk) - 1) // 2
+        K[c, rmax - r:rmax + r + 1] = kk
+    return K, rmax
+
+
+_OCT_KER, _OCT_RAD = _octave_base_kernels()
 
 
 def _bilinear_vol(vol_flat: jnp.ndarray, shape, si: jnp.ndarray,
@@ -236,13 +260,21 @@ def _detect_octave(gauss: jnp.ndarray, K: int, contrast_thr: float = CONTRAST_TH
     S, H, W = gauss.shape
     dog = gauss[1:] - gauss[:-1]  # (N_SCALES+2, H, W)
 
+    # 26-neighbour extremum test as a 2-D spatial window + an elementwise
+    # max/min over the three scale slices.  (A single 3x3x3 reduce_window
+    # makes XLA:TPU pick a scale-minor layout for the whole DoG stack inside
+    # fused programs — observed 25x padding expansion, 38 GB HBM at 5 MP.)
     big = 1e9
-    maxp = jax.lax.reduce_window(
-        dog, -big, jax.lax.max, (3, 3, 3), (1, 1, 1), "SAME"
-    )[1:-1]
-    minp = jax.lax.reduce_window(
-        dog, big, jax.lax.min, (3, 3, 3), (1, 1, 1), "SAME"
-    )[1:-1]
+    pool_max = jax.lax.reduce_window(
+        dog, -big, jax.lax.max, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    pool_min = jax.lax.reduce_window(
+        dog, big, jax.lax.min, (1, 3, 3), (1, 1, 1), "SAME"
+    )
+    maxp = jnp.maximum(jnp.maximum(pool_max[:-2], pool_max[1:-1]),
+                       pool_max[2:])
+    minp = jnp.minimum(jnp.minimum(pool_min[:-2], pool_min[1:-1]),
+                       pool_min[2:])
     center = dog[1:-1]  # scales 1..N_SCALES
     prelim_thr = 0.5 * contrast_thr / N_SCALES
     is_ext = ((center >= maxp) | (center <= minp)) & (jnp.abs(center) > prelim_thr)
@@ -287,9 +319,27 @@ def _detect_octave(gauss: jnp.ndarray, K: int, contrast_thr: float = CONTRAST_TH
         axis=-2,
     )  # (K, 3, 3)
     g = jnp.stack([ds, dy, dx], axis=-1)
-    # Damped solve keeps singular Hessians harmless (those get rejected).
-    eye = jnp.eye(3, dtype=jnp.float32) * 1e-6
-    off = -jnp.linalg.solve(Hm + eye, g[..., None])[..., 0]  # (K, 3) s,y,x
+    # Damped closed-form (adjugate) solve: jnp.linalg.solve lowers to a
+    # batched LU on TPU — far more expensive than 3x3 Cramer on the VPU;
+    # damping keeps singular Hessians harmless (those get rejected).
+    A = Hm + jnp.eye(3, dtype=jnp.float32) * 1e-6
+    c00 = A[:, 1, 1] * A[:, 2, 2] - A[:, 1, 2] * A[:, 2, 1]
+    c01 = A[:, 1, 2] * A[:, 2, 0] - A[:, 1, 0] * A[:, 2, 2]
+    c02 = A[:, 1, 0] * A[:, 2, 1] - A[:, 1, 1] * A[:, 2, 0]
+    det3 = A[:, 0, 0] * c00 + A[:, 0, 1] * c01 + A[:, 0, 2] * c02
+    det3 = jnp.where(jnp.abs(det3) < 1e-18, 1e-18, det3)
+    c10 = A[:, 0, 2] * A[:, 2, 1] - A[:, 0, 1] * A[:, 2, 2]
+    c11 = A[:, 0, 0] * A[:, 2, 2] - A[:, 0, 2] * A[:, 2, 0]
+    c12 = A[:, 0, 1] * A[:, 2, 0] - A[:, 0, 0] * A[:, 2, 1]
+    c20 = A[:, 0, 1] * A[:, 1, 2] - A[:, 0, 2] * A[:, 1, 1]
+    c21 = A[:, 0, 2] * A[:, 1, 0] - A[:, 0, 0] * A[:, 1, 2]
+    c22 = A[:, 0, 0] * A[:, 1, 1] - A[:, 0, 1] * A[:, 1, 0]
+    adj = jnp.stack([
+        jnp.stack([c00, c10, c20], axis=-1),
+        jnp.stack([c01, c11, c21], axis=-1),
+        jnp.stack([c02, c12, c22], axis=-1),
+    ], axis=-2)
+    off = -jnp.einsum("kij,kj->ki", adj, g) / det3[:, None]  # (K, 3) s,y,x
     off_ok = jnp.all(jnp.abs(off) < 1.5, axis=-1)
     # Refined contrast (OpenCV test: |D_hat| * N >= contrastThreshold).
     d_hat = c + 0.5 * jnp.sum(g * off, axis=-1)
@@ -314,6 +364,197 @@ def _detect_octave(gauss: jnp.ndarray, K: int, contrast_thr: float = CONTRAST_TH
         "response": jnp.abs(d_hat),
         "valid": valid,
     }
+
+
+# --- patch-based sampling (the MXU formulation) ----------------------------
+#
+# The gather formulation below costs ~1000 scattered row-gathers per keypoint
+# (256 orientation + 2x256 descriptor samples x 2 rows each) — measured as
+# the extraction hot spot on v5e.  The patch formulation replaces them with
+# dense linear algebra: ONE 66x66 dynamic-slice per keypoint (66 contiguous
+# row fetches), then every bilinear sample becomes a separable interpolation
+# *matmul* over the patch — weights relu(1 - |pos - iota|) have exactly the
+# two nonzeros of bilinear interpolation, so the result is bit-identical
+# math, but it runs on the MXU instead of the scatter/gather unit.
+
+_PATCH = 64          # gradient patch side; covers max desc radius ~29 px
+_PATCH_C = 31.0      # keypoint integer pixel sits at this patch index
+
+
+@jax.jit
+def _extract_patches(gauss: jnp.ndarray, scale_i: jnp.ndarray,
+                     yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
+    """Per-keypoint (P+2, P+2) gauss slices at each keypoint's scale.
+
+    yi, xi: int32 (K,) floor pixel coords.  Zero-padded beyond the image
+    (the gather path clamps instead — differs only for keypoints closer
+    than P/2 to the border)."""
+    S, H, W = gauss.shape
+    pad = _PATCH // 2 + 2
+    gp = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
+
+    def one(si, y0, x0):
+        return jax.lax.dynamic_slice(
+            gp,
+            (si, y0 - int(_PATCH_C) - 1 + pad, x0 - int(_PATCH_C) - 1 + pad),
+            (1, _PATCH + 2, _PATCH + 2),
+        )[0]
+
+    return jax.vmap(one)(scale_i, yi, xi)
+
+
+def _patch_gradients(patches: jnp.ndarray) -> jnp.ndarray:
+    """(K, P+2, P+2) gauss slices -> (K, 2, P, P) [gx, gy] central diffs."""
+    gx = 0.5 * (patches[:, 1:-1, 2:] - patches[:, 1:-1, :-2])
+    gy = 0.5 * (patches[:, 2:, 1:-1] - patches[:, :-2, 1:-1])
+    return jnp.stack([gx, gy], axis=1)
+
+
+def _sample_patch_grads(g2: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray):
+    """Bilinear gradient samples as separable interpolation matmuls.
+
+    g2: (K, 2, P, P); sy/sx: (K, N) sample coords in gradient-patch units.
+    Returns (gxs, gys): (K, N).  Samples outside [0, P-1] get weight 0."""
+    P = g2.shape[-1]
+    iota = jnp.arange(P, dtype=jnp.float32)
+    wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - iota))  # (K, N, P)
+    wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - iota))
+    t = jnp.einsum("kni,kcij->kcnj", wy, g2)
+    out = jnp.einsum("kcnj,knj->kcn", t, wx)
+    return out[:, 0], out[:, 1]
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def _orient_and_describe_patch(gauss: jnp.ndarray, det: dict,
+                               chunk: int = 512):
+    """Patch/MXU variant of _orient_and_describe — same outputs.
+
+    Keypoints are processed in `chunk`-sized slabs (lax.map) so the
+    (chunk, 2, 512, P) interpolation intermediates stay ~100 MB instead of
+    gigabytes at K=4096."""
+    K = det["x"].shape[0]
+    keys = ("x", "y", "sigma_octave", "scale_i")
+    if K <= chunk:
+        return _orient_describe_patch_body(
+            gauss, {k: det[k] for k in keys})
+    nc = -(-K // chunk)
+    padK = nc * chunk
+
+    def pad(v):
+        return jnp.pad(v, (0, padK - K)).reshape(nc, chunk)
+
+    det_c = {k: pad(det[k]) for k in keys}
+    angles, avalid, d = jax.lax.map(
+        lambda dc: _orient_describe_patch_body(gauss, dc), det_c)
+    return (
+        angles.reshape(padK, 2)[:K],
+        avalid.reshape(padK, 2)[:K],
+        d.reshape(padK, 2, 128)[:K],
+    )
+
+
+def _orient_describe_patch_body(gauss: jnp.ndarray, det: dict):
+    """One keypoint slab of the patch/MXU formulation.
+
+    Exact same sample grids, histogram, and descriptor assembly as the
+    gather path; only the bilinear gradient sampling machinery differs
+    (interpolation matmuls over per-keypoint patches instead of scattered
+    row-gathers)."""
+    x, y = det["x"], det["y"]
+    sig = det["sigma_octave"]
+    scale_i = det["scale_i"]
+    K = x.shape[0]
+
+    xi = jnp.floor(x).astype(jnp.int32)
+    yi = jnp.floor(y).astype(jnp.int32)
+    fx = x - xi
+    fy = y - yi
+    patches = _extract_patches(gauss, scale_i, yi, xi)
+    g2 = _patch_gradients(patches)
+    # Keypoint subpixel position in gradient-patch coords.
+    cx = _PATCH_C + fx
+    cy = _PATCH_C + fy
+
+    # --- orientation ---------------------------------------------------------
+    ori_off = jnp.asarray(_ORI_OFF)
+    ori_gw = jnp.asarray(_ORI_GAUSS)
+    radius = (4.5 * ORI_SIG_FCTR * sig)[:, None]          # (K, 1)
+    sx_o = cx[:, None] + ori_off[None, :, 0] * radius      # (K, 256)
+    sy_o = cy[:, None] + ori_off[None, :, 1] * radius
+    gxs, gys = _sample_patch_grads(g2, sy_o, sx_o)
+    mag = jnp.sqrt(gxs * gxs + gys * gys)
+    ang = jnp.arctan2(gys, gxs)
+    binf = (ang + jnp.pi) / (2 * jnp.pi) * ORI_BINS
+    b0 = jnp.floor(binf).astype(jnp.int32) % ORI_BINS
+    frac = binf - jnp.floor(binf)
+    w = mag * ori_gw[None, :]
+    oh0 = jax.nn.one_hot(b0, ORI_BINS, dtype=jnp.float32)
+    oh1 = jax.nn.one_hot((b0 + 1) % ORI_BINS, ORI_BINS, dtype=jnp.float32)
+    hist = jnp.einsum("knb,kn->kb", oh0, w * (1 - frac), precision=_HIGHEST) \
+        + jnp.einsum("knb,kn->kb", oh1, w * frac, precision=_HIGHEST)
+
+    def smooth(h):
+        return (
+            jnp.roll(h, 2, axis=-1) + 4 * jnp.roll(h, 1, axis=-1) + 6 * h
+            + 4 * jnp.roll(h, -1, axis=-1) + jnp.roll(h, -2, axis=-1)
+        ) / 16.0
+
+    hist = smooth(smooth(hist))
+    peak = jnp.max(hist, axis=-1)
+
+    def interp_angle(h, b):
+        l = h[(b - 1) % ORI_BINS]
+        cme = h[b]
+        rr = h[(b + 1) % ORI_BINS]
+        denom = l - 2 * cme + rr
+        off_b = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (l - rr) / denom, 0.0)
+        bin_pos = (b.astype(jnp.float32) + off_b) % ORI_BINS
+        return bin_pos / ORI_BINS * 2 * jnp.pi - jnp.pi
+
+    def peaks(h, pk):
+        b1 = jnp.argmax(h)
+        a1 = interp_angle(h, b1)
+        is_localmax = (h >= jnp.roll(h, 1)) & (h >= jnp.roll(h, -1))
+        mask2 = is_localmax & (jnp.arange(ORI_BINS) != b1)
+        h2 = jnp.where(mask2, h, -1.0)
+        b2 = jnp.argmax(h2)
+        a2 = interp_angle(h, b2)
+        v2 = h2[b2] >= ORI_PEAK_RATIO * pk
+        return jnp.stack([a1, a2]), jnp.stack([pk > 0, v2])
+
+    angles, avalid = jax.vmap(peaks)(hist, peak)           # (K, 2), (K, 2)
+
+    # --- descriptors (both orientation slots at once) ------------------------
+    desc_off = jnp.asarray(_DESC_OFF)                      # (256, 2)
+    spatial_w = jnp.asarray(_DESC_SPATIAL_W)               # (256, 16)
+    gauss_w = jnp.asarray(_DESC_GAUSS_W)                   # (256,)
+    cell = (DESC_SCL_FCTR * sig)[:, None, None]            # (K, 1, 1)
+    ca = jnp.cos(angles)[..., None]                        # (K, 2, 1)
+    sa = jnp.sin(angles)[..., None]
+    ox = desc_off[None, None, :, 0] * cell                 # (K, 2, 256)
+    oy = desc_off[None, None, :, 1] * cell
+    sx_d = (cx[:, None, None] + ca * ox - sa * oy).reshape(K, -1)  # (K, 512)
+    sy_d = (cy[:, None, None] + sa * ox + ca * oy).reshape(K, -1)
+    gxs_d, gys_d = _sample_patch_grads(g2, sy_d, sx_d)     # (K, 512)
+    gxs_d = gxs_d.reshape(K, 2, 256)
+    gys_d = gys_d.reshape(K, 2, 256)
+    mag_d = jnp.sqrt(gxs_d ** 2 + gys_d ** 2) * gauss_w[None, None, :]
+    ang_d = jnp.arctan2(gys_d, gxs_d) - angles[..., None]
+    binf_d = jnp.mod((ang_d / (2 * jnp.pi)) * DESC_BINS, DESC_BINS)
+    b0_d = jnp.floor(binf_d).astype(jnp.int32) % DESC_BINS
+    frac_d = binf_d - jnp.floor(binf_d)
+    oh0_d = jax.nn.one_hot(b0_d, DESC_BINS, dtype=jnp.float32) \
+        * (1 - frac_d)[..., None]
+    oh1_d = jax.nn.one_hot((b0_d + 1) % DESC_BINS, DESC_BINS,
+                           dtype=jnp.float32) * frac_d[..., None]
+    ori_contrib = (oh0_d + oh1_d) * mag_d[..., None]       # (K, 2, 256, 8)
+    d = jnp.einsum("sc,kasb->kacb", spatial_w, ori_contrib,
+                   precision=_HIGHEST)                     # (K, 2, 16, 8)
+    d = d.reshape(K, 2, 128)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    d = jnp.minimum(d, DESC_MAG_THR)
+    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+    return angles, avalid, d
 
 
 @jax.jit
@@ -448,14 +689,87 @@ def _orient_describe_batched(gauss_b, det_b):
     return jax.vmap(_orient_and_describe)(gauss_b, det_b)
 
 
+@jax.jit
+def _orient_describe_patch_batched(gauss_b, det_b):
+    # Sequential over images (lax.map, not vmap): each image's chunked
+    # interpolation matmuls already fill the MXU; batching them would only
+    # multiply the ~100 MB interpolation intermediates by B.
+    return jax.lax.map(
+        lambda gd: _orient_and_describe_patch(gd[0], gd[1]),
+        (gauss_b, det_b),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("upsample",))
 def _base_image_batched(imgs, upsample: bool = True):
     return jax.vmap(lambda im: _base_image(im, upsample=upsample))(imgs)
 
 
-@jax.jit
+@functools.partial(
+    jax.jit, static_argnames=("K", "octave_scale", "sample_mode"))
+def _octave_pipeline(g_b, K: int, contrast_thr: float, octave_scale: float,
+                     sample_mode: str):
+    """One fused device program per octave: pyramid build + extrema detect +
+    orientation/descriptor + flatten, returning the next octave's base.
+
+    Collapsing the per-octave stages into a single dispatch matters on a
+    remote-TPU link: each jit call pays tunnel latency, and the unfused loop
+    ran 3 dispatch chains per octave."""
+    gauss = _build_octave_batched(g_b)
+    # The barrier keeps XLA from propagating the keypoint-stage layout
+    # preferences into the dense detect stage (observed: a scale/batch-minor
+    # layout on the whole DoG stack, 25-40x tile-padding expansion -> HBM
+    # OOM at 5 MP).
+    gauss = jax.lax.optimization_barrier(gauss)
+    det = jax.vmap(lambda g: _detect_octave(g, K, contrast_thr))(gauss)
+    det = jax.lax.optimization_barrier(det)
+    if sample_mode == "patch":
+        angles, avalid, desc = _orient_describe_patch_batched(gauss, det)
+    else:
+        angles, avalid, desc = _orient_describe_batched(gauss, det)
+    kp, desc_o, val = _collect_octave(det, angles, avalid, desc, octave_scale)
+    g_next = gauss[:, N_SCALES, ::2, ::2]
+    return kp, desc_o, val, g_next
+
+
 def _build_octave_batched(base_b):
-    return jax.vmap(_build_octave)(base_b)
+    """(B, H, W) octave bases -> (B, S+3, H, W) gaussian stacks.
+
+    All scales blur directly from the base (composed sigmas).  On TPU the
+    blurs run as Pallas VMEM-streaming kernels (ops/pallas_blur.py — the
+    XLA conv emitter's channel-minor layouts pad 5 channels to 128 lanes);
+    elsewhere as one channelized conv pair."""
+    if jax.default_backend() == "tpu":
+        from monocularsfm_tpu.ops.pallas_blur import blur_multi
+
+        x = blur_multi(base_b, jnp.asarray(_OCT_KER))
+        return jnp.concatenate([base_b[:, None], x], axis=1)
+    return _build_octave_batched_conv(base_b)
+
+
+@jax.jit
+def _build_octave_batched_conv(base_b):
+    """XLA-conv pyramid (CPU/GPU path + parity oracle for the kernel)."""
+    B, H, W = base_b.shape
+    C = _OCT_KER.shape[0]
+    r = _OCT_RAD
+    ker = jnp.asarray(_OCT_KER)
+    x = jnp.pad(base_b, ((0, 0), (r, r), (0, 0)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x[:, None], ker[:, None, :, None],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=_HIGHEST,
+    )  # (B, C, H, W)
+    x = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (r, r)), mode="edge")
+    x = jax.lax.conv_general_dilated(
+        x, ker[:, None, None, :],
+        window_strides=(1, 1), padding="VALID",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        feature_group_count=C,
+        precision=_HIGHEST,
+    )  # (B, C, H, W)
+    return jnp.concatenate([base_b[:, None], x], axis=1)
 
 
 @jax.jit
@@ -487,9 +801,12 @@ def _collect_octave(det, angles, avalid, desc, octave_scale):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("num_features", "normalization"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_features", "normalization", "transfer_dtype"))
 def _select_top_features(kp, desc, valid, num_features: int,
-                         normalization: str):
+                         normalization: str,
+                         transfer_dtype: str = "float32"):
     """Cross-octave top-`num_features` by keypoint size, ON DEVICE (the
     reference's ExtractTopScaleKeyPoints policy, FeatureUtils.cpp:38-96),
     followed by the output normalisation — so the whole extraction makes
@@ -510,6 +827,8 @@ def _select_top_features(kp, desc, valid, num_features: int,
         desc_s = desc_s / jnp.maximum(
             jnp.linalg.norm(desc_s, axis=-1, keepdims=True), 1e-12
         )
+    if transfer_dtype == "float16":
+        desc_s = desc_s.astype(jnp.float16)
     return kp_s, desc_s, val_s
 
 
@@ -525,12 +844,21 @@ class SIFT:
     def __init__(self, num_features: int = 8024, k_per_octave: int = 4096,
                  upsample: bool = True, normalization: str = "l1_root",
                  contrast_threshold: float = CONTRAST_THRESHOLD,
-                 decay_octave_budget: bool = True):
+                 decay_octave_budget: bool = True,
+                 sample_mode: str = "patch",
+                 transfer_dtype: str = "float16"):
         self.num_features = num_features
         self.k_per_octave = k_per_octave
         self.upsample = upsample
         self.normalization = normalization
         self.contrast_threshold = contrast_threshold
+        # "patch": per-keypoint patches + interpolation matmuls (MXU path,
+        # the default); "gather": scattered row-gathers (the former
+        # formulation, kept for A/B and for exact parity with old outputs).
+        self.sample_mode = sample_mode
+        # Device->host dtype for descriptors ("float16" halves the transfer;
+        # host upcasts back to f32).
+        self.transfer_dtype = transfer_dtype
         # Halve the candidate budget per octave past the second (perf lever:
         # the orientation/descriptor gather cost scales with the budget and
         # real images concentrate surviving features in the first octaves).
@@ -564,30 +892,25 @@ class SIFT:
         oct_kp, oct_desc, oct_valid = [], [], []
         g = base
         for o in range(num_octaves):
-            gauss = _build_octave_batched(g)  # (B, S, H, W)
             h, w_ = g.shape[1:]
             # Candidate budget decays with the octave: real images put the
             # overwhelming majority of surviving features in the first two
-            # octaves, and the per-slot orientation/descriptor gather cost is
-            # the extraction hot spot — full-width budgets at quarter
-            # resolution and below buy capacity that top-feature selection
-            # then discards.  Small octaves also have fewer pixels than the
-            # budget.
+            # octaves, and the per-slot orientation/descriptor sampling cost
+            # scales with the budget.  decay_octave_budget=False restores
+            # keep-all-then-select-top.  Small octaves also have fewer
+            # pixels than the budget.
             if self.decay_octave_budget:
                 k_oct = max(self.k_per_octave >> max(0, o - 1), 256)
             else:
                 k_oct = self.k_per_octave
             k_oct = min(k_oct, N_SCALES * h * w_)
-            det = _detect_octave_batched(gauss, k_oct, self.contrast_threshold)
-            angles, avalid, desc = _orient_describe_batched(gauss, det)
-            kp_o, desc_o, val_o = _collect_octave(
-                det, angles, avalid, desc, 2.0 ** (o + first_octave)
+            kp_o, desc_o, val_o, g = _octave_pipeline(
+                g, k_oct, self.contrast_threshold,
+                2.0 ** (o + first_octave), self.sample_mode,
             )
             oct_kp.append(kp_o)
             oct_desc.append(desc_o)
             oct_valid.append(val_o)
-            # Next octave: downsample the scale-(N_SCALES) gaussian image.
-            g = gauss[:, N_SCALES, ::2, ::2]
             if min(g.shape[1:]) < 16:
                 break
 
@@ -595,10 +918,14 @@ class SIFT:
         desc_all = jnp.concatenate(oct_desc, axis=1)
         val_all = jnp.concatenate(oct_valid, axis=1)
         kp_s, desc_s, val_s = _select_top_features(
-            kp_all, desc_all, val_all, self.num_features, self.normalization
+            kp_all, desc_all, val_all, self.num_features, self.normalization,
+            transfer_dtype=self.transfer_dtype,
         )
+        # Descriptors cross device->host as f16 by default (half the bytes;
+        # ~2e-4 relative error, far below descriptor noise) — the transfer
+        # is a real cost on a remote-TPU link.
         kp_h = np.asarray(kp_s, np.float32)
-        desc_h = np.asarray(desc_s, np.float32)
+        desc_h = np.asarray(desc_s).astype(np.float32)
         val_h = np.asarray(val_s)
 
         out_kp, out_desc = [], []

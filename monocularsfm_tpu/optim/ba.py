@@ -296,6 +296,21 @@ def bundle_adjust(
     auto from problem size so one dispatch stays ~4 s)."""
     if kwargs.get("solve_mode") == "pcg" and "pcg_cached" not in kwargs:
         kwargs.update(derive_pcg_cached_statics(prob))
+    elif kwargs.get("pcg_cached"):
+        # Caller-supplied capacities: verify against the problem.  Too-small
+        # pcg_max_rows/pcg_max_blocks would silently truncate the bounded
+        # rows_to_points/cam_reduce_blocks sums -> wrong gradients.
+        need = derive_pcg_cached_statics(prob)
+        if not need:
+            raise ValueError(
+                "pcg_cached=True requires sorted point_rows (see "
+                "derive_pcg_cached_statics)")
+        for k in ("pcg_max_rows", "pcg_max_blocks"):
+            have = kwargs.get(k, {"pcg_max_rows": 1, "pcg_max_blocks": 16}[k])
+            if have < need[k]:
+                raise ValueError(
+                    f"{k}={have} too small for this problem (needs "
+                    f">= {need[k]}); pass none to derive automatically")
     if dispatch_iters is None:
         dispatch_iters = _auto_dispatch_iters(
             prob.obs_cam.size, kwargs.get("solve_mode", "dense"),

@@ -101,7 +101,7 @@ class Initializer:
         return k
 
     def _adaptive(self, run, sample_size: int, num_valid: int,
-                  max_rounds: int = 4):
+                  max_rounds: int | None = None):
         """Re-dispatch identically-shaped hypothesis rounds until the classic
         RANSAC termination bound meets `ransac_confidence` (the adaptive
         iteration count of cv::findHomography/findFundamentalMat, inverted
@@ -111,6 +111,12 @@ class Initializer:
             num_ransac_iterations, rounds_to_confidence,
         )
 
+        if max_rounds is None:
+            # Reach the reference's 10000-hypothesis ceiling
+            # (Initializer.cpp:103-159) — initialization failure is
+            # unrecoverable, so the confidence bound is always honored.
+            max_rounds = max(
+                1, -(-10000 // max(self.cfg.ransac_iterations, 1)))
         out = run(self._next_key())
         rounds = 1
         while rounds < rounds_to_confidence(

@@ -68,7 +68,8 @@ class MapBuilder:
         self.timers = {
             name: Timer(name)
             for name in ("setup", "initialize", "register", "triangulate",
-                         "local_ba", "global_ba", "filter", "total")
+                         "local_ba", "global_ba", "filter", "filter_pass",
+                         "complete_pass", "merge_pass", "total")
         }
         self._last_global_ba_count = 0
         self._mesh = None  # lazy device mesh for sharded BA (False = unavailable)
@@ -350,17 +351,21 @@ class MapBuilder:
     def maintain_tracks(self, point_ids):
         mb = self.cfg.map_builder
         with self.timers["filter"]:
-            self.map.filter_points(
-                point_ids, mb.filter_max_error_px, mb.filter_min_tri_angle_deg
-            )
-            self.map.complete_points(
-                [p for p in point_ids if self.map._alive[int(p)]],
-                mb.complete_max_error_px, mb.complete_max_transitivity,
-            )
-            self.map.merge_points(
-                [p for p in point_ids if self.map._alive[int(p)]],
-                mb.merge_max_error_px,
-            )
+            with self.timers["filter_pass"]:
+                self.map.filter_points(
+                    point_ids, mb.filter_max_error_px,
+                    mb.filter_min_tri_angle_deg
+                )
+            with self.timers["complete_pass"]:
+                self.map.complete_points(
+                    [p for p in point_ids if self.map._alive[int(p)]],
+                    mb.complete_max_error_px, mb.complete_max_transitivity,
+                )
+            with self.timers["merge_pass"]:
+                self.map.merge_points(
+                    [p for p in point_ids if self.map._alive[int(p)]],
+                    mb.merge_max_error_px,
+                )
 
     # -- main loop ------------------------------------------------------------
     def do_build(self) -> BuildSummary:

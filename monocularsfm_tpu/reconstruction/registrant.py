@@ -67,8 +67,10 @@ class Registrant:
         # hypothesis rounds until the classic 1-(1-w^m)^k >= confidence bound
         # holds for the best model seen (cv::solvePnPRansac's adaptive
         # termination, inverted for batch hardware).
-        sample_size = {"p3p": 3, "epnp": 5}.get(cfg.pnp_method, 6)
-        max_rounds = 4
+        sample_size = {"p3p": 3, "ap3p": 3, "epnp": 5}.get(cfg.pnp_method, 6)
+        # Enough rounds to reach the reference's 10000-hypothesis ceiling
+        # (Registrant.h:22-27) so the confidence bound is always honored.
+        max_rounds = max(1, -(-10000 // max(cfg.ransac_iterations, 1)))
         out = run_round()
         rounds = 1
         while rounds < rounds_to_confidence(

@@ -28,7 +28,7 @@ def _load_bench():
 def test_bench_image_helper_renders():
     bench = _load_bench()
     imgs = bench._bench_image()
-    assert imgs.shape[0] == 3
+    assert imgs.shape[0] == 4  # bench.py extraction batch default
     assert imgs.shape[1:] == (bench.EXTRACT_H, bench.EXTRACT_W)
     assert imgs.dtype == np.uint8
 

@@ -314,3 +314,74 @@ class TestPnP:
             (np.trace(np.asarray(out["R"]).T @ s.R[c]) - 1) / 2, -1, 1)))
         assert R_err < 1.0, R_err
         assert np.linalg.norm(np.asarray(out["t"]) - s.t[c]) < 0.05
+
+    def test_ap3p_alias_matches_p3p(self, ring_scene):
+        """config value "ap3p" (Registrant.cpp:46-50) runs the same batched
+        quartic solver as "p3p" — identical output for identical keys."""
+        s = ring_scene
+        c = 3
+        vis = s.visible[c]
+        X = s.points[vis][:128]
+        uv = s.observations[c][vis][:128]
+        cap = 128
+        m = np.ones(cap, bool)[: len(X)]
+        Xp = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        mp = np.zeros(cap, bool)
+        Xp[: len(X)], uvp[: len(X)], mp[: len(X)] = X, uv, m
+        args = (jax.random.PRNGKey(5), jnp.asarray(s.K.astype(np.float32)),
+                jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(mp))
+        o1 = estimate_pnp_ransac(*args, num_hyps=128, method="p3p")
+        o2 = estimate_pnp_ransac(*args, num_hyps=128, method="ap3p")
+        np.testing.assert_array_equal(np.asarray(o1["R"]), np.asarray(o2["R"]))
+        np.testing.assert_array_equal(np.asarray(o1["t"]), np.asarray(o2["t"]))
+
+    def test_upnp_recovers_pose_and_focal(self, ring_scene):
+        """Unknown-focal resection (cv::SOLVEPNP_UPNP role,
+        Registrant.cpp:52-63): feed a K whose focal is wrong by 25% — the
+        calibrated solvers would be poisoned, UPnP must recover both the
+        true pose and the true focal from the data."""
+        s = ring_scene
+        rng = np.random.default_rng(3)
+        c = 5
+        vis = s.visible[c]
+        X = s.points[vis]
+        uv = s.observations[c][vis].copy()
+        uv += rng.normal(scale=0.2, size=uv.shape)
+        n = len(X)
+        cap = 512
+        k = min(n, cap)
+        Xp = np.zeros((cap, 3), np.float32)
+        uvp = np.zeros((cap, 2), np.float32)
+        m = np.zeros(cap, bool)
+        Xp[:k], uvp[:k], m[:k] = X[:k], uv[:k], True
+        K_wrong = s.K.copy().astype(np.float32)
+        K_wrong[0, 0] *= 1.25
+        K_wrong[1, 1] *= 1.25
+        out = estimate_pnp_ransac(
+            jax.random.PRNGKey(9), jnp.asarray(K_wrong),
+            jnp.asarray(Xp), jnp.asarray(uvp), jnp.asarray(m),
+            threshold_px=4.0, num_hyps=512, method="upnp",
+        )
+        assert bool(out["success"])
+        f_est = float(out["focal"])
+        assert abs(f_est - s.K[0, 0]) / s.K[0, 0] < 0.05, f_est
+        R_err = np.degrees(np.arccos(np.clip(
+            (np.trace(np.asarray(out["R"]).T @ s.R[c]) - 1) / 2, -1, 1)))
+        assert R_err < 2.0, R_err
+
+
+class TestRansacConfidence:
+    def test_default_rounds_reach_reference_ceiling(self):
+        """With a weak best model, the derived max_rounds must let the
+        hypothesis budget reach the reference's 10000-iteration ceiling
+        (Initializer.cpp:103-159) instead of silently capping at 4 rounds."""
+        from monocularsfm_tpu.estimators import rounds_to_confidence
+
+        # 20% inliers on an 8-point model: need = log(1-0.9999)/log(1-w^8)
+        # >> 10000 -> the ceiling binds.
+        r = rounds_to_confidence(0.9999, 20, 100, 8, 2048)
+        assert r * 2048 >= 10000, r
+        # A strong model still terminates after one round.
+        r1 = rounds_to_confidence(0.9999, 95, 100, 8, 2048)
+        assert r1 == 1, r1

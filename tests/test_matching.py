@@ -284,3 +284,51 @@ def test_match_pairs_batch_pallas_kernel_parity(rng):
     out_pal = np.asarray(
         match_pairs_batch(bank, masks, pairs, kernel="pallas"))
     np.testing.assert_array_equal(out_xla, out_pal)
+
+
+def test_opencv_matcher_backend_agrees_with_jax(tmp_path, rng):
+    """MatchingConfig.backend="opencv" (the honest CPU-baseline path:
+    BFMatcher knn2 + ratio + cross-check + cv2.findFundamentalMat, exactly
+    FeatureUtils.cpp:141-206) must verify essentially the same matches as
+    the device-batched path on a planted two-view scene."""
+    import pytest
+
+    cv2 = pytest.importorskip("cv2")
+    from monocularsfm_tpu.database import Database
+    from monocularsfm_tpu.config import MatchingConfig
+    from monocularsfm_tpu.features.matching import SequentialFeatureMatcher
+
+    n = 300
+    base = _unit(rng, n)
+    noisy = base + 0.03 * rng.normal(size=base.shape).astype(np.float32)
+    noisy /= np.linalg.norm(noisy, axis=1, keepdims=True)
+    # Planar scene -> uv2 is a homography of uv1 (consistent epipolar geom).
+    uv1 = rng.uniform(20, 600, size=(n, 2)).astype(np.float32)
+    uv2 = uv1 * 0.9 + 15.0
+
+    results = {}
+    for backend in ("jax", "opencv"):
+        path = tmp_path / f"m_{backend}.db"
+        db = Database(path)
+        for d, uv in ((base, uv1), (noisy, uv2)):
+            kp = np.concatenate(
+                [uv, np.full((n, 1), 2.0, np.float32),
+                 np.zeros((n, 1), np.float32)], axis=1)
+            iid = db.write_image(f"im{len(results)}_{d[0,0]:.4f}.png")
+            db.write_keypoints(iid, kp)
+            db.write_descriptors(iid, d)
+        db.close()
+        cfg = MatchingConfig(overlap=1, backend=backend,
+                             ransac_iterations=512)
+        SequentialFeatureMatcher(cfg).run_matching(
+            str(path), log=lambda *a: None)
+        db = Database(path)
+        mats = [m for m in db.read_all_matches().values() if len(m)]
+        db.close()
+        assert len(mats) == 1, backend
+        results[backend] = {tuple(r) for r in mats[0]}
+
+    inter = results["jax"] & results["opencv"]
+    # Same semantics, different RANSAC implementations: demand >= 90% overlap.
+    assert len(inter) >= 0.9 * max(len(results["jax"]),
+                                   len(results["opencv"]))

@@ -113,6 +113,113 @@ class TestSift:
     def test_descriptor_rootsift_norms(self, rendered, sift):
         imgs, *_ = rendered
         _, desc = sift.extract(imgs[0])
-        # RootSIFT: unit L2 and non-negative.
-        np.testing.assert_allclose(np.linalg.norm(desc, axis=1), 1.0, atol=1e-4)
+        # RootSIFT: unit L2 and non-negative (atol covers the f16
+        # device->host transfer quantization, ~2e-4 relative).
+        np.testing.assert_allclose(np.linalg.norm(desc, axis=1), 1.0,
+                                   atol=3e-3)
         assert (desc >= 0).all()
+
+
+class TestPatchSampling:
+    def test_patch_path_matches_gather_path(self, rendered):
+        """The patch/MXU formulation computes the same bilinear samples as
+        the gather formulation — descriptors and angles must agree to fp
+        tolerance for interior keypoints (border handling differs: patch
+        zero-pads, gather clamps)."""
+        imgs, _, _, _ = rendered
+        a = SIFT(num_features=800, k_per_octave=512, sample_mode="gather")
+        b = SIFT(num_features=800, k_per_octave=512, sample_mode="patch")
+        kps_a, desc_a = a.extract_batch(imgs[:1])
+        kps_b, desc_b = b.extract_batch(imgs[:1])
+        ka, da = kps_a[0], desc_a[0]
+        kb, db_ = kps_b[0], desc_b[0]
+        H, W = imgs.shape[1:3]
+        # Interior keypoints only (far enough from the border that the
+        # patch/clamp difference cannot reach the sample grid).
+        margin = 35.0
+
+        def interior(kp):
+            return ((kp[:, 0] > margin) & (kp[:, 0] < W - margin)
+                    & (kp[:, 1] > margin) & (kp[:, 1] < H - margin))
+
+        sel_a = np.nonzero(interior(ka))[0]
+        sel_b = np.nonzero(interior(kb))[0]
+        # Detection is identical; sampling differences can flip marginal
+        # secondary-orientation slots, so pair keypoints by (x, y, angle)
+        # and demand the shared set dominates.
+        key = lambda kp, i: (round(float(kp[i, 0]), 2),
+                             round(float(kp[i, 1]), 2),
+                             round(float(kp[i, 3]), 0))
+        map_a = {key(ka, i): i for i in sel_a}
+        map_b = {key(kb, i): i for i in sel_b}
+        common = sorted(set(map_a) & set(map_b))
+        assert len(common) >= 0.9 * max(len(sel_a), len(sel_b)), (
+            len(common), len(sel_a), len(sel_b))
+        ia = np.asarray([map_a[c] for c in common])
+        ib = np.asarray([map_b[c] for c in common])
+        err = np.abs(da[ia] - db_[ib]).max()
+        assert err < 5e-3, err
+
+    def test_patch_sampler_exact_vs_gather_sampler(self):
+        """Unit check of the interpolation-matmul sampler against the
+        row-gather sampler on random data — identical coords, interior
+        samples, must agree to fp tolerance."""
+        import jax
+
+        from monocularsfm_tpu.ops import sift as S
+
+        rng = np.random.default_rng(0)
+        ssz, hsz, wsz = 3, 96, 128
+        vol = rng.normal(size=(ssz, hsz, wsz)).astype(np.float32)
+        gauss = jnp.asarray(vol)
+        # gather-path pack
+        gx = np.zeros_like(vol)
+        gx[:, :, 1:-1] = 0.5 * (vol[:, :, 2:] - vol[:, :, :-2])
+        gy = np.zeros_like(vol)
+        gy[:, 1:-1, :] = 0.5 * (vol[:, 2:, :] - vol[:, :-2, :])
+        gxf, gyf = gx.ravel(), gy.ravel()
+        shift = lambda v: np.concatenate([v[1:], v[:1]])
+        gpack = jnp.asarray(
+            np.stack([gxf, shift(gxf), gyf, shift(gyf)], axis=1))
+
+        k = 8
+        xk = rng.uniform(34, wsz - 34, size=k).astype(np.float32)
+        yk = rng.uniform(34, hsz - 34, size=k).astype(np.float32)
+        si = rng.integers(0, ssz, size=k).astype(np.int32)
+        off = rng.uniform(-2.5, 2.5, size=(k, 16)).astype(np.float32)
+        sx = xk[:, None] + off
+        sy = yk[:, None] + off[:, ::-1]
+
+        gx_ref, gy_ref = jax.vmap(
+            lambda s, yy, xx: S._bilinear_grads(
+                gpack, (ssz, hsz, wsz), s, xx, yy)
+        )(si, jnp.asarray(sy), jnp.asarray(sx))
+
+        patches = S._extract_patches(
+            gauss, jnp.asarray(si),
+            jnp.floor(jnp.asarray(yk)).astype(jnp.int32),
+            jnp.floor(jnp.asarray(xk)).astype(jnp.int32))
+        g2 = S._patch_gradients(patches)
+        loc_x = jnp.asarray(sx - (np.floor(xk) - S._PATCH_C)[:, None])
+        loc_y = jnp.asarray(sy - (np.floor(yk) - S._PATCH_C)[:, None])
+        gx_p, gy_p = S._sample_patch_grads(g2, loc_y, loc_x)
+
+        np.testing.assert_allclose(
+            np.asarray(gx_ref), np.asarray(gx_p), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(gy_ref), np.asarray(gy_p), atol=1e-5)
+
+    def test_pallas_blur_matches_conv_oracle(self):
+        """ops/pallas_blur.blur_multi (interpret mode on CPU) vs the XLA
+        conv pyramid — identical blurs to fp tolerance."""
+        import jax.numpy as jnp
+
+        from monocularsfm_tpu.ops import sift as S
+        from monocularsfm_tpu.ops.pallas_blur import blur_multi
+
+        rng = np.random.default_rng(0)
+        base = rng.random((2, 100, 150), np.float32)
+        ref = np.asarray(S._build_octave_batched_conv(jnp.asarray(base)))
+        out = np.asarray(blur_multi(
+            jnp.asarray(base), jnp.asarray(S._OCT_KER), interpret=True))
+        assert np.abs(ref[:, 1:] - out).max() < 1e-5
