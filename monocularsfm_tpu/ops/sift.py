@@ -67,7 +67,12 @@ def _top_k_large(x: jnp.ndarray, k: int):
     """
     if x.shape[-1] <= 16384 or jax.default_backend() != "tpu":
         return jax.lax.top_k(x, k)
-    return jax.lax.approx_max_k(x, k, recall_target=0.99)
+    import os
+
+    recall = float(os.environ.get("MONOSFM_TOPK_RECALL", "0.99"))
+    if recall >= 1.0:  # exact (risks the TopkEmitter check-fail on >10M rows)
+        return jax.lax.top_k(x, k)
+    return jax.lax.approx_max_k(x, k, recall_target=recall)
 
 
 def gaussian_kernel1d(sigma: float) -> np.ndarray:

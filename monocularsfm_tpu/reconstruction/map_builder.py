@@ -356,14 +356,20 @@ class MapBuilder:
                     point_ids, mb.filter_max_error_px,
                     mb.filter_min_tri_angle_deg
                 )
+            import numpy as np
+
+            def _alive(ids):
+                arr = np.asarray(list(ids), np.int64).reshape(-1)
+                return arr[self.map._alive[arr]] if len(arr) else arr
+
             with self.timers["complete_pass"]:
                 self.map.complete_points(
-                    [p for p in point_ids if self.map._alive[int(p)]],
+                    _alive(point_ids),
                     mb.complete_max_error_px, mb.complete_max_transitivity,
                 )
             with self.timers["merge_pass"]:
                 self.map.merge_points(
-                    [p for p in point_ids if self.map._alive[int(p)]],
+                    _alive(point_ids),
                     mb.merge_max_error_px,
                 )
 

@@ -170,6 +170,7 @@ class Map:
         im.R = np.asarray(R, np.float64)
         im.t = np.asarray(t, np.float64).reshape(3)
         im.registered = True
+        self._bump_pose_epoch()
         self.registered_ids.append(image_id)
         if self._registered_rows is not None:
             row = self.scene_graph._row_of.get(image_id)
@@ -590,7 +591,13 @@ class Map:
     def _pose_row_tables(self):
         """Per-image-row pose tables for vectorised candidate tests.
 
-        Returns (R (NI,3,3), t (NI,3)); unregistered rows hold identity."""
+        Returns (R (NI,3,3), t (NI,3)); unregistered rows hold identity.
+        Cached per pose epoch — maintenance calls this several times per
+        pass and poses only change in add_image_pose/update_from_ba."""
+        cached = getattr(self, "_pose_tab_cache", None)
+        epoch = getattr(self, "_pose_epoch", 0)
+        if cached is not None and cached[0] == epoch:
+            return cached[1], cached[2]
         g = self.scene_graph
         ni = len(g.image_ids)
         R = np.tile(np.eye(3), (ni, 1, 1))
@@ -600,7 +607,11 @@ class Map:
             if im is not None and im.registered:
                 R[r] = im.R
                 t[r] = im.t
+        self._pose_tab_cache = (epoch, R, t)
         return R, t
+
+    def _bump_pose_epoch(self):
+        self._pose_epoch = getattr(self, "_pose_epoch", 0) + 1
 
     def _node_track(self, pid):
         """Track as flat node ids (native-call input)."""
@@ -788,8 +799,14 @@ class Map:
         best pairwise parallax is under the threshold.  Error and parallax
         math is fully vectorised; only the (few) removals mutate in Python.
         """
+        import os
+        import time as _t
+
+        prof = os.environ.get("MONOSFM_MAINT_PROF")
+        t0 = _t.perf_counter()
         removed = 0
         obs_pid, obs_img, obs_kpt, err = self._batch_track_errors(point_ids)
+        t1 = _t.perf_counter()
         bad = err > max_error_px
         for o in np.nonzero(bad)[0]:
             pid = int(obs_pid[o])
@@ -798,9 +815,11 @@ class Map:
             if (int(obs_img[o]), int(obs_kpt[o])) in self._tracks[pid]:
                 self.remove_observation(pid, int(obs_img[o]), int(obs_kpt[o]))
                 removed += 1
+        t2 = _t.perf_counter()
         # Parallax pass (small-angle filter, Map.cpp:875-917).
-        alive = [int(p) for p in point_ids if self._alive[int(p)]]
-        if not alive:
+        pid_arr = np.asarray(point_ids, np.int64).reshape(-1)
+        alive = pid_arr[self._alive[pid_arr]] if len(pid_arr) else pid_arr
+        if not len(alive):
             return removed
         if self._node_p3d is not None:
             alive_arr, has_angle = self._batch_parallax_ok(
@@ -817,6 +836,12 @@ class Map:
             if self._alive[pid]:
                 removed += len(self._tracks[pid])
                 self.delete_point3d(pid)
+        if prof:
+            t3 = _t.perf_counter()
+            print(f"[maint-prof] filter n_pids={len(point_ids)} "
+                  f"nobs={len(obs_pid)} errors={t1-t0:.3f}s "
+                  f"remove={t2-t1:.3f}s parallax+del={t3-t2:.3f}s",
+                  flush=True)
         return removed
 
     def _batch_parallax_ok(self, pids, min_angle_deg: float):
@@ -842,6 +867,25 @@ class Map:
         occ = np.arange(len(opid)) - starts[inv]
         cos_thresh = np.cos(np.radians(min_angle_deg))
         ok = np.zeros(len(uniq), bool)
+        # O(obs) screen before the O(len^2) pairwise pass: a point passes
+        # outright if its FIRST observation makes a wide-enough (folded)
+        # angle with any other observation — which covers almost every
+        # long-track point.  Only screened-out points pay the bucketed
+        # pairwise test below.
+        c_first = np.abs(np.einsum("oi,oi->o", nd, nd[starts[inv]]))
+        c_first[starts] = 1.0  # self-pair
+        ok[:] = np.minimum.reduceat(c_first, starts) <= cos_thresh
+        if ok.all():
+            return uniq, ok
+        keep_p = ~ok
+        keep_o = keep_p[inv]
+        nd = nd[keep_o]
+        opid2 = opid[keep_o]
+        uniq2, inv, cnt = np.unique(opid2, return_inverse=True,
+                                    return_counts=True)
+        starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+        occ = np.arange(len(opid2)) - starts[inv]
+        ok2 = np.zeros(len(uniq2), bool)
         max_len = int(cnt.max())
         Tb = 2
         while Tb // 2 < max_len:
@@ -865,8 +909,11 @@ class Map:
                     & ~np.eye(Tb, dtype=bool)[None]
                 )
                 wide = pair & (np.abs(cosm) <= cos_thresh)
-                ok[sel] = wide.any(axis=(1, 2))
+                ok2[sel] = wide.any(axis=(1, 2))
             Tb *= 2
+        # Scatter the pairwise results back into the screened array.
+        pos = np.searchsorted(uniq, uniq2)
+        ok[pos] = ok2
         return uniq, ok
 
     # -- BA bridge -----------------------------------------------------------
@@ -1010,6 +1057,7 @@ class Map:
         for c, img in enumerate(image_ids):
             self.images[img].R = R[c]
             self.images[img].t = t[c]
+        self._bump_pose_epoch()
         for p, pid in enumerate(pids):
             if self._alive[pid]:
                 self._xyz[pid] = X[p]

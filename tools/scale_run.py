@@ -108,6 +108,9 @@ def main():
     ap.add_argument("--arc-deg", type=float, default=200.0,
                     help="camera arc span; 200/128 images ~ 1.6 deg steps, "
                     "a small-image smoke should scale the arc down too")
+    ap.add_argument("--no-decay-octave", action="store_true",
+                    help="disable the per-octave candidate budget decay "
+                    "(keep-all-then-select-top parity mode)")
     ap.add_argument("--render-only", action="store_true")
     ap.add_argument("--stage", default="all",
                     choices=["all", "extract", "match", "reconstruct"])
@@ -136,6 +139,8 @@ def main():
 
     cfg = build_config(data_dir, args.label, args.backend, args.overlap,
                        args.num_features, args.match_backend, args.match_type)
+    if args.no_decay_octave:
+        cfg.extraction.decay_octave_budget = False
     phases = {}
 
     def timed(name, fn, *a, **kw):
