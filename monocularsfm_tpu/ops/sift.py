@@ -415,17 +415,34 @@ def _patch_gradients(patches: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([gx, gy], axis=1)
 
 
+def _sample_precision():
+    """Precision of the interpolation matmuls (MONOSFM_SAMPLE_PRECISION:
+    default|high|highest).  The package pins float32(=HIGHEST, 3-pass bf16)
+    globally; interpolation weights are in [0,1] with two nonzeros and
+    gradients are O(1e-1), so lower passes trade ~0.4% sample noise
+    (below the descriptor's own f16 transfer quantization after
+    normalisation) for up to 3x MXU throughput."""
+    import os
+
+    name = os.environ.get("MONOSFM_SAMPLE_PRECISION", "highest")
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "high": jax.lax.Precision.HIGH,
+    }.get(name, _HIGHEST)
+
+
 def _sample_patch_grads(g2: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray):
     """Bilinear gradient samples as separable interpolation matmuls.
 
     g2: (K, 2, P, P); sy/sx: (K, N) sample coords in gradient-patch units.
     Returns (gxs, gys): (K, N).  Samples outside [0, P-1] get weight 0."""
     P = g2.shape[-1]
+    prec = _sample_precision()
     iota = jnp.arange(P, dtype=jnp.float32)
     wy = jnp.maximum(0.0, 1.0 - jnp.abs(sy[..., None] - iota))  # (K, N, P)
     wx = jnp.maximum(0.0, 1.0 - jnp.abs(sx[..., None] - iota))
-    t = jnp.einsum("kni,kcij->kcnj", wy, g2)
-    out = jnp.einsum("kcnj,knj->kcn", t, wx)
+    t = jnp.einsum("kni,kcij->kcnj", wy, g2, precision=prec)
+    out = jnp.einsum("kcnj,knj->kcn", t, wx, precision=prec)
     return out[:, 0], out[:, 1]
 
 
@@ -711,11 +728,50 @@ def _base_image_batched(imgs, upsample: bool = True):
 
 
 @functools.partial(
+    jax.jit,
+    static_argnames=("num_octaves", "k_sched", "first_octave", "sample_mode",
+                     "num_features", "normalization", "transfer_dtype",
+                     "upsample"))
+def _extract_all(imgs, num_octaves: int, k_sched: tuple,
+                 contrast_thr: float, first_octave: int, sample_mode: str,
+                 num_features: int, normalization: str, transfer_dtype: str,
+                 upsample: bool):
+    """The ENTIRE batched extraction as one device program: base image, all
+    octaves (pyramid/detect/orient/describe), cross-octave top-feature
+    selection.  One dispatch + one small device->host transfer per batch —
+    the per-octave dispatch chain paid ~25 ms tunnel latency per call."""
+    base = jax.vmap(lambda im: _base_image(im, upsample=upsample))(imgs)
+    g = base
+    oct_kp, oct_desc, oct_valid = [], [], []
+    for o in range(num_octaves):
+        kp_o, desc_o, val_o, g = _octave_pipeline_body(
+            g, k_sched[o], contrast_thr, 2.0 ** (o + first_octave),
+            sample_mode)
+        g = jax.lax.optimization_barrier(g)
+        oct_kp.append(kp_o)
+        oct_desc.append(desc_o)
+        oct_valid.append(val_o)
+    kp_all = jnp.concatenate(oct_kp, axis=1)
+    desc_all = jnp.concatenate(oct_desc, axis=1)
+    val_all = jnp.concatenate(oct_valid, axis=1)
+    return _select_top_features(
+        kp_all, desc_all, val_all, num_features, normalization,
+        transfer_dtype=transfer_dtype)
+
+
+@functools.partial(
     jax.jit, static_argnames=("K", "octave_scale", "sample_mode"))
 def _octave_pipeline(g_b, K: int, contrast_thr: float, octave_scale: float,
                      sample_mode: str):
-    """One fused device program per octave: pyramid build + extrema detect +
-    orientation/descriptor + flatten, returning the next octave's base.
+    """One fused device program per octave (see _octave_pipeline_body)."""
+    return _octave_pipeline_body(g_b, K, contrast_thr, octave_scale,
+                                 sample_mode)
+
+
+def _octave_pipeline_body(g_b, K: int, contrast_thr: float,
+                          octave_scale: float, sample_mode: str):
+    """One octave: pyramid build + extrema detect + orientation/descriptor
+    + flatten, returning the next octave's base.
 
     Collapsing the per-octave stages into a single dispatch matters on a
     remote-TPU link: each jit call pays tunnel latency, and the unfused loop
@@ -885,46 +941,37 @@ class SIFT:
         """
         B = images.shape[0]
         imgs = jnp.asarray(np.asarray(images, np.float32) / 255.0)
-        base = _base_image_batched(imgs, upsample=self.upsample)
         first_octave = -1 if self.upsample else 0
-        H0, W0 = base.shape[1:]
+        H0, W0 = imgs.shape[1:]
+        if self.upsample:
+            H0, W0 = 2 * H0, 2 * W0
         num_octaves = int(np.round(np.log2(min(H0, W0)))) - 3
         num_octaves = max(min(num_octaves, 8), 1)
 
-        # Per-octave results stay on device; the cross-octave top-k and the
-        # output normalisation run as one final device program, so the whole
-        # batch costs a single device->host transfer (no per-octave syncs).
-        oct_kp, oct_desc, oct_valid = [], [], []
-        g = base
+        # Static per-octave candidate budget schedule.  The budget decays
+        # past the second octave (real images put the overwhelming majority
+        # of surviving features in the first two octaves, and per-slot
+        # orientation/descriptor sampling cost scales with the budget);
+        # decay_octave_budget=False restores keep-all-then-select-top.
+        k_sched = []
+        h, w_ = H0, W0
         for o in range(num_octaves):
-            h, w_ = g.shape[1:]
-            # Candidate budget decays with the octave: real images put the
-            # overwhelming majority of surviving features in the first two
-            # octaves, and the per-slot orientation/descriptor sampling cost
-            # scales with the budget.  decay_octave_budget=False restores
-            # keep-all-then-select-top.  Small octaves also have fewer
-            # pixels than the budget.
             if self.decay_octave_budget:
                 k_oct = max(self.k_per_octave >> max(0, o - 1), 256)
             else:
                 k_oct = self.k_per_octave
-            k_oct = min(k_oct, N_SCALES * h * w_)
-            kp_o, desc_o, val_o, g = _octave_pipeline(
-                g, k_oct, self.contrast_threshold,
-                2.0 ** (o + first_octave), self.sample_mode,
-            )
-            oct_kp.append(kp_o)
-            oct_desc.append(desc_o)
-            oct_valid.append(val_o)
-            if min(g.shape[1:]) < 16:
+            k_sched.append(min(k_oct, N_SCALES * h * w_))
+            h, w_ = (h + 1) // 2, (w_ + 1) // 2  # ::2 slicing keeps ceil
+            if min(h, w_) < 16:
+                num_octaves = o + 1
                 break
 
-        kp_all = jnp.concatenate(oct_kp, axis=1)
-        desc_all = jnp.concatenate(oct_desc, axis=1)
-        val_all = jnp.concatenate(oct_valid, axis=1)
-        kp_s, desc_s, val_s = _select_top_features(
-            kp_all, desc_all, val_all, self.num_features, self.normalization,
-            transfer_dtype=self.transfer_dtype,
+        # The ENTIRE extraction runs as one jitted program: one dispatch,
+        # one device->host transfer per batch.
+        kp_s, desc_s, val_s = _extract_all(
+            imgs, num_octaves, tuple(k_sched), self.contrast_threshold,
+            first_octave, self.sample_mode, self.num_features,
+            self.normalization, self.transfer_dtype, self.upsample,
         )
         # Descriptors cross device->host as f16 by default (half the bytes;
         # ~2e-4 relative error, far below descriptor noise) — the transfer
