@@ -144,6 +144,11 @@ class BundleConfig:
     # images, sparse/iterative beyond): bundles over `dense_max_images`
     # switch to matrix-free PCG with long tracks split across rows.
     dense_max_images: int = 50
+    # The dense-Schur path materialises per-observation (6,3)/(2,6) blocks
+    # whose trailing dims tile-pad to (8,128) on TPU; beyond this padded
+    # observation capacity the flat-layout cached-PCG path (18 floats/obs)
+    # takes over even under dense_max_images.
+    dense_max_obs: int = 1_048_576  # = the proven 64k-point x 16 scale
     pcg_iterations: int = 100
     track_width: int = 16             # observation-row width for split bundles
 

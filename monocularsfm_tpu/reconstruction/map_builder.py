@@ -274,8 +274,21 @@ class MapBuilder:
             n_imgs = len(self.map.registered_ids)
             # Solver policy (CeresBundleOptimizer.cpp:262-276): dense Schur
             # for small bundles, matrix-free PCG (ITERATIVE_SCHUR analogue)
-            # beyond dense_max_images.
-            dense = n_imgs <= bcfg.dense_max_images
+            # beyond dense_max_images.  Also capacity-gated: the dense path's
+            # per-observation blocks tile-pad ~21-85x on TPU, so bundles
+            # whose padded capacity (pow2(points) x track_width) exceeds
+            # dense_max_obs route to the flat-layout cached-PCG path even
+            # under the image threshold (observed: 262k points at 40 images
+            # from dense cv2 matches -> 4.2M-row dense system -> 33 GB HBM).
+            def _pow2(x, minimum=1024):
+                c = minimum
+                while c < x:
+                    c *= 2
+                return c
+
+            est_cap = _pow2(max(self.map.num_points3D, 1)) * bcfg.track_width
+            dense = (n_imgs <= bcfg.dense_max_images
+                     and est_cap <= bcfg.dense_max_obs)
             mesh = self._ba_mesh()
             # Landmark-sharded distributed BA needs one row per point, so
             # tracks split across rows only on the single-device PCG path.
