@@ -255,6 +255,19 @@ class MapBuilder:
             # and global bundles (MapBuilder.cpp:576-609); function_tolerance
             # exits early on converged local windows.
             bcfg = self.cfg.bundle
+            kwargs = {}
+            if prob.obs_cam.size > bcfg.dense_max_obs:
+                # Same capacity gate as global_ba: a top-5 covisible window
+                # over dense match graphs can hold >131k points (and the
+                # unsplit track width buckets to pow2(longest track)), so
+                # the dense path's padded per-observation blocks exceed HBM.
+                # Rebuild the window split (tight track_width rows) and
+                # route to the flat PCG path.
+                prob, image_ids, pids = self.map.get_local_ba_data(
+                    image_id, window=self.cfg.map_builder.local_ba_window,
+                    allow_split=True, track_width=bcfg.track_width,
+                )
+                kwargs = dict(solve_mode="pcg", pcg_iters=bcfg.pcg_iterations)
             out = bundle_adjust(
                 prob,
                 max_iterations=bcfg.max_iterations,
@@ -264,6 +277,7 @@ class MapBuilder:
                 initial_radius=bcfg.initial_trust_radius,
                 min_lm_diagonal=bcfg.min_lm_diagonal,
                 max_lm_diagonal=bcfg.max_lm_diagonal,
+                **kwargs,
             )
             self.map.update_from_ba(out, image_ids, pids)
             return out
@@ -275,18 +289,26 @@ class MapBuilder:
             # Solver policy (CeresBundleOptimizer.cpp:262-276): dense Schur
             # for small bundles, matrix-free PCG (ITERATIVE_SCHUR analogue)
             # beyond dense_max_images.  Also capacity-gated: the dense path's
-            # per-observation blocks tile-pad ~21-85x on TPU, so bundles
-            # whose padded capacity (pow2(points) x track_width) exceeds
-            # dense_max_obs route to the flat-layout cached-PCG path even
-            # under the image threshold (observed: 262k points at 40 images
-            # from dense cv2 matches -> 4.2M-row dense system -> 33 GB HBM).
-            def _pow2(x, minimum=1024):
+            # per-observation blocks tile-pad ~21-85x on TPU, and its unsplit
+            # track width buckets to pow2(longest track) — dense cv2 match
+            # graphs at 40 images reached 65k points x T=64 = 4.2M padded
+            # rows = 33 GB HBM.  The estimate below mirrors the bridge's
+            # exact bucketing (pow2(points) x pow2(max track length)).
+            def _pow2(x, minimum):
                 c = minimum
                 while c < x:
                     c *= 2
                 return c
 
-            est_cap = _pow2(max(self.map.num_points3D, 1)) * bcfg.track_width
+            if self.map._node_p3d is not None:
+                _, opid = self.map._obs_table()
+                n_pts = len(np.unique(opid)) if len(opid) else 1
+                max_len = (int(np.bincount(opid).max())
+                           if len(opid) else 2)
+            else:
+                n_pts = max(self.map.num_points3D, 1)
+                max_len = n_imgs
+            est_cap = _pow2(n_pts, 256) * _pow2(max(max_len, 2), 8)
             dense = (n_imgs <= bcfg.dense_max_images
                      and est_cap <= bcfg.dense_max_obs)
             mesh = self._ba_mesh()

@@ -1017,7 +1017,9 @@ class Map:
         )
         return prob, image_ids, pids
 
-    def get_local_ba_data(self, image_id: int, window: int = 5):
+    def get_local_ba_data(self, image_id: int, window: int = 5,
+                          allow_split: bool = False,
+                          track_width: int = 16):
         """Local bundle: newest image + top-`window` covisible registered
         images (Map.cpp:965-1115).  Reference quirk reproduced: the pinned
         pose is the *last id in the list* (the weakest covisible image), not
@@ -1032,7 +1034,8 @@ class Map:
         top = sorted(covis, key=lambda i: -covis[i])[:window]
         ids = [image_id] + top
         const = {ids[-1]} if len(ids) > 1 else set()
-        return self._ba_problem_from(ids, const)
+        return self._ba_problem_from(
+            ids, const, track_width=track_width, allow_split=allow_split)
 
     def get_global_ba_data(self, track_width: int = 16,
                            allow_split: bool = False):
