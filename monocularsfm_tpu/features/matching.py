@@ -88,6 +88,13 @@ class _MatcherBase:
             n = len(descs[i])
             bank[row, :n] = descs[i]
             mask[row, :n] = True
+        # On TPU the Pallas matcher casts descriptors to bf16 before the
+        # MXU matmul anyway, so shipping the bank as bf16 is output-
+        # preserving and halves the host->device transfer (0.5 GB of f32 at
+        # 128 images x 8192 cap — minutes over a remote-TPU link at scale).
+        if jax.default_backend() == "tpu":
+            return (jnp.asarray(bank.astype(np.float32), dtype=jnp.bfloat16),
+                    jnp.asarray(mask), kps, cap)
         return jnp.asarray(bank), jnp.asarray(mask), kps, cap
 
     # -- geometric verification ---------------------------------------------
