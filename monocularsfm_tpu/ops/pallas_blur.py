@@ -24,11 +24,19 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_TILE_H = 32  # keeps (out block x2 double-buffer + halo scratch) < 16M VMEM
-
-
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
+
+
+def _tile_h(Wp: int, C: int) -> int:
+    """Slab height: the kernel's VMEM footprint (halo scratch + double-
+    buffered out blocks) scales with C x tile_h x Wp; shrink the tile for
+    wide images (observed: 32-row slabs fit at W=2560 but blow the 16 MB
+    scoped-vmem limit at the 6400-px upsampled 3200-px regime)."""
+    th = 32
+    while th > 8 and C * th * (Wp + 128) * 4 * 3 > 6_000_000:
+        th //= 2
+    return th
 
 
 def _blur_v_kernel(k_ref, x_ref, o_ref, scratch, sem):
@@ -77,13 +85,14 @@ def blur_multi(base_b: jnp.ndarray, kernels: jnp.ndarray,
     B, H, W = base_b.shape
     C, T = kernels.shape
     r = (T - 1) // 2
-    Hp = _round_up(H, _TILE_H)
     Wp = _round_up(W, 128)
+    tile_h = _tile_h(Wp, C)
+    Hp = _round_up(H, tile_h)
     # Mosaic DMA slices must align to the (8, 128) tile: round the halo
     # slab heights/widths up and over-replicate the edge padding.
     rh = _round_up(T - 1, 8)
     rw = _round_up(T - 1, 128)
-    grid = (B, Hp // _TILE_H)
+    grid = (B, Hp // tile_h)
     kernels = kernels.astype(jnp.float32)
 
     # Vertical pass. Pad: blur halo (r) + slab/tile alignment, replicated.
@@ -97,11 +106,11 @@ def blur_multi(base_b: jnp.ndarray, kernels: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, _TILE_H, Wp), lambda n, h: (n, 0, h, 0),
+            (1, C, tile_h, Wp), lambda n, h: (n, 0, h, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((_TILE_H + rh, Wp), jnp.float32),
+            pltpu.VMEM((tile_h + rh, Wp), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
@@ -120,11 +129,11 @@ def blur_multi(base_b: jnp.ndarray, kernels: jnp.ndarray,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec(
-            (1, C, _TILE_H, Wp), lambda n, h: (n, 0, h, 0),
+            (1, C, tile_h, Wp), lambda n, h: (n, 0, h, 0),
             memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, C, Hp, Wp), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((C, _TILE_H, Wp + rw), jnp.float32),
+            pltpu.VMEM((C, tile_h, Wp + rw), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

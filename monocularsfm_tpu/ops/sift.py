@@ -740,7 +740,24 @@ def _extract_all(imgs, num_octaves: int, k_sched: tuple,
     octaves (pyramid/detect/orient/describe), cross-octave top-feature
     selection.  One dispatch + one small device->host transfer per batch —
     the per-octave dispatch chain paid ~25 ms tunnel latency per call."""
-    base = jax.vmap(lambda im: _base_image(im, upsample=upsample))(imgs)
+    # Base image: resize, then the initial sigma_diff blur.  On TPU the
+    # blur runs through the Pallas kernel — the 1-channel XLA conv picks a
+    # channel-minor layout padded 1 -> 128 lanes (14.7 GB at 6400x4800).
+    if upsample:
+        H_, W_ = imgs.shape[1:]
+        base = jax.vmap(lambda im: jax.image.resize(
+            im, (2 * H_, 2 * W_), method="linear"))(imgs)
+        sigma_diff = math.sqrt(max(SIGMA0 ** 2 - 4.0 * INIT_SIGMA ** 2, 0.01))
+    else:
+        base = imgs
+        sigma_diff = math.sqrt(max(SIGMA0 ** 2 - INIT_SIGMA ** 2, 0.01))
+    kb = gaussian_kernel1d(sigma_diff)
+    if jax.default_backend() == "tpu":
+        from monocularsfm_tpu.ops.pallas_blur import blur_multi
+
+        base = blur_multi(base, jnp.asarray(kb)[None, :])[:, 0]
+    else:
+        base = jax.vmap(lambda im: _blur2d(im, kb))(base)
     g = base
     oct_kp, oct_desc, oct_valid = [], [], []
     for o in range(num_octaves):
