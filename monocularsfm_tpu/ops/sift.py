@@ -740,6 +740,10 @@ def _extract_all(imgs, num_octaves: int, k_sched: tuple,
     octaves (pyramid/detect/orient/describe), cross-octave top-feature
     selection.  One dispatch + one small device->host transfer per batch —
     the per-octave dispatch chain paid ~25 ms tunnel latency per call."""
+    # uint8 images cross host->device raw (4x fewer bytes than f32 — the
+    # transfer is a real cost on a remote-TPU link); normalise on device.
+    if imgs.dtype == jnp.uint8:
+        imgs = imgs.astype(jnp.float32) / 255.0
     # Base image: resize, then the initial sigma_diff blur.  On TPU the
     # blur runs through the Pallas kernel — the 1-channel XLA conv picks a
     # channel-minor layout padded 1 -> 128 lanes (14.7 GB at 6400x4800).
@@ -957,7 +961,11 @@ class SIFT:
         Returns (list of (Ni, 4) keypoints, list of (Ni, 128) descriptors).
         """
         B = images.shape[0]
-        imgs = jnp.asarray(np.asarray(images, np.float32) / 255.0)
+        images = np.asarray(images)
+        if images.dtype == np.uint8:
+            imgs = jnp.asarray(images)          # raw bytes up; /255 on device
+        else:
+            imgs = jnp.asarray(images.astype(np.float32) / 255.0)
         first_octave = -1 if self.upsample else 0
         H0, W0 = imgs.shape[1:]
         if self.upsample:
