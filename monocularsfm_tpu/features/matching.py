@@ -166,7 +166,8 @@ class _MatcherBase:
         This is the honest CPU-baseline anchor, NOT a TPU path."""
         import cv2
 
-        bank_h = np.asarray(bank)
+        # The TPU path ships the bank as bf16; cv2 only takes CV_32F.
+        bank_h = np.asarray(bank).astype(np.float32)
         mask_h = np.asarray(mask)
         row_of = {i: r for r, i in enumerate(image_ids)}
         cfg = self.cfg

@@ -31,12 +31,22 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 _HIGHEST = jax.lax.Precision.HIGHEST
+
+# Env knobs, read ONCE at import (they select traced programs — reading at
+# trace time would silently ignore changes after a shape's first compile,
+# and the persistent XLA cache could bake the stale choice across runs):
+# MONOSFM_TOPK_RECALL: detection approx-top-k recall ('1.0' = exact top_k).
+# MONOSFM_SAMPLE_PRECISION: interpolation-matmul precision
+# (default|high|highest).
+_TOPK_RECALL = float(os.environ.get("MONOSFM_TOPK_RECALL", "0.99"))
+_SAMPLE_PRECISION = os.environ.get("MONOSFM_SAMPLE_PRECISION", "highest")
 
 # OpenCV-compatible constants.
 N_SCALES = 3              # nOctaveLayers
@@ -67,12 +77,9 @@ def _top_k_large(x: jnp.ndarray, k: int):
     """
     if x.shape[-1] <= 16384 or jax.default_backend() != "tpu":
         return jax.lax.top_k(x, k)
-    import os
-
-    recall = float(os.environ.get("MONOSFM_TOPK_RECALL", "0.99"))
-    if recall >= 1.0:  # exact (risks the TopkEmitter check-fail on >10M rows)
+    if _TOPK_RECALL >= 1.0:  # exact (risks TopkEmitter check-fail >10M rows)
         return jax.lax.top_k(x, k)
-    return jax.lax.approx_max_k(x, k, recall_target=recall)
+    return jax.lax.approx_max_k(x, k, recall_target=_TOPK_RECALL)
 
 
 def gaussian_kernel1d(sigma: float) -> np.ndarray:
@@ -391,12 +398,14 @@ def _extract_patches(gauss: jnp.ndarray, scale_i: jnp.ndarray,
                      yi: jnp.ndarray, xi: jnp.ndarray) -> jnp.ndarray:
     """Per-keypoint (P+2, P+2) gauss slices at each keypoint's scale.
 
-    yi, xi: int32 (K,) floor pixel coords.  Zero-padded beyond the image
-    (the gather path clamps instead — differs only for keypoints closer
-    than P/2 to the border)."""
+    yi, xi: int32 (K,) floor pixel coords.  Edge-replicated beyond the
+    image: zero-padding would manufacture a step edge at the border whose
+    fake gradients (~0.5 * I(edge)) dominate orientation histograms for
+    every keypoint within ~patch/2 of the border; replication gives zero
+    gradient beyond the edge, matching the gather path's clamp semantics."""
     S, H, W = gauss.shape
     pad = _PATCH // 2 + 2
-    gp = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)))
+    gp = jnp.pad(gauss, ((0, 0), (pad, pad), (pad, pad)), mode="edge")
 
     def one(si, y0, x0):
         return jax.lax.dynamic_slice(
@@ -416,19 +425,16 @@ def _patch_gradients(patches: jnp.ndarray) -> jnp.ndarray:
 
 
 def _sample_precision():
-    """Precision of the interpolation matmuls (MONOSFM_SAMPLE_PRECISION:
-    default|high|highest).  The package pins float32(=HIGHEST, 3-pass bf16)
-    globally; interpolation weights are in [0,1] with two nonzeros and
-    gradients are O(1e-1), so lower passes trade ~0.4% sample noise
-    (below the descriptor's own f16 transfer quantization after
-    normalisation) for up to 3x MXU throughput."""
-    import os
-
-    name = os.environ.get("MONOSFM_SAMPLE_PRECISION", "highest")
+    """Precision of the interpolation matmuls (module knob, see header).
+    The package pins float32(=HIGHEST, 3-pass bf16) globally; interpolation
+    weights are in [0,1] with two nonzeros and gradients are O(1e-1), so
+    lower passes trade ~0.4% sample noise (below the descriptor's own f16
+    transfer quantization after normalisation) for up to 3x MXU
+    throughput."""
     return {
         "default": jax.lax.Precision.DEFAULT,
         "high": jax.lax.Precision.HIGH,
-    }.get(name, _HIGHEST)
+    }.get(_SAMPLE_PRECISION, _HIGHEST)
 
 
 def _sample_patch_grads(g2: jnp.ndarray, sy: jnp.ndarray, sx: jnp.ndarray):
@@ -778,15 +784,6 @@ def _extract_all(imgs, num_octaves: int, k_sched: tuple,
     return _select_top_features(
         kp_all, desc_all, val_all, num_features, normalization,
         transfer_dtype=transfer_dtype)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("K", "octave_scale", "sample_mode"))
-def _octave_pipeline(g_b, K: int, contrast_thr: float, octave_scale: float,
-                     sample_mode: str):
-    """One fused device program per octave (see _octave_pipeline_body)."""
-    return _octave_pipeline_body(g_b, K, contrast_thr, octave_scale,
-                                 sample_mode)
 
 
 def _octave_pipeline_body(g_b, K: int, contrast_thr: float,

@@ -166,6 +166,12 @@ def _cost(r):
     return 0.5 * jnp.sum(r * r)
 
 
+# Single source of the cached-PCG capacity defaults (the bundle_adjust
+# validation checks caller-supplied values against these).
+_PCG_DEFAULT_MAX_ROWS = 1
+_PCG_DEFAULT_MAX_BLOCKS = 16
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -187,8 +193,8 @@ def _bundle_adjust_segment(
     min_lm_diagonal: float = 1e-6,
     max_lm_diagonal: float = 1e32,
     pcg_cached: bool = False,
-    pcg_max_rows: int = 1,
-    pcg_max_blocks: int = 16,
+    pcg_max_rows: int = _PCG_DEFAULT_MAX_ROWS,
+    pcg_max_blocks: int = _PCG_DEFAULT_MAX_BLOCKS,
     pcg_rtol: float = 1e-2,
     init_state=None,
 ) -> dict[str, Any]:
@@ -306,7 +312,8 @@ def bundle_adjust(
                 "pcg_cached=True requires sorted point_rows (see "
                 "derive_pcg_cached_statics)")
         for k in ("pcg_max_rows", "pcg_max_blocks"):
-            have = kwargs.get(k, {"pcg_max_rows": 1, "pcg_max_blocks": 16}[k])
+            have = kwargs.get(k, {"pcg_max_rows": _PCG_DEFAULT_MAX_ROWS,
+                                  "pcg_max_blocks": _PCG_DEFAULT_MAX_BLOCKS}[k])
             if have < need[k]:
                 raise ValueError(
                     f"{k}={have} too small for this problem (needs "
@@ -366,8 +373,8 @@ def bundle_adjust_impl(
     min_lm_diagonal: float = 1e-6,
     max_lm_diagonal: float = 1e32,
     pcg_cached: bool = False,
-    pcg_max_rows: int = 1,
-    pcg_max_blocks: int = 16,
+    pcg_max_rows: int = _PCG_DEFAULT_MAX_ROWS,
+    pcg_max_blocks: int = _PCG_DEFAULT_MAX_BLOCKS,
     pcg_rtol: float = 1e-2,
     axis_name: str | None = None,
     init_state=None,

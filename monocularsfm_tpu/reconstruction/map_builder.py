@@ -294,11 +294,9 @@ class MapBuilder:
             # graphs at 40 images reached 65k points x T=64 = 4.2M padded
             # rows = 33 GB HBM.  The estimate below mirrors the bridge's
             # exact bucketing (pow2(points) x pow2(max track length)).
-            def _pow2(x, minimum):
-                c = minimum
-                while c < x:
-                    c *= 2
-                return c
+            from monocularsfm_tpu.reconstruction.map_state import (
+                pow2_bucket as _pow2,
+            )
 
             if self.map._node_p3d is not None:
                 _, opid = self.map._obs_table()
@@ -391,8 +389,6 @@ class MapBuilder:
                     point_ids, mb.filter_max_error_px,
                     mb.filter_min_tri_angle_deg
                 )
-            import numpy as np
-
             def _alive(ids):
                 arr = np.asarray(list(ids), np.int64).reshape(-1)
                 return arr[self.map._alive[arr]] if len(arr) else arr

@@ -35,6 +35,17 @@ import numpy as np
 from monocularsfm_tpu.ops.undistort import undistort_pixels
 
 
+def pow2_bucket(x: int, minimum: int) -> int:
+    """Pow2 capacity buckets keep the number of distinct BA shapes (and
+    hence XLA recompiles) logarithmic as the map grows.  Shared by the BA
+    bridge and the map_builder dense/PCG capacity gate — the gate must
+    mirror the bridge's bucketing exactly."""
+    cap = minimum
+    while cap < x:
+        cap *= 2
+    return cap
+
+
 @dataclasses.dataclass
 class ImageState:
     image_id: int
@@ -931,13 +942,7 @@ class Map:
         Assembly is fully vectorised (one point3D scan per image)."""
         from monocularsfm_tpu.optim import make_bundle_problem
 
-        def _pow2_bucket(x, minimum):
-            # Pow2 capacity buckets keep the number of distinct BA shapes
-            # (and hence XLA recompiles) logarithmic as the map grows.
-            cap = minimum
-            while cap < x:
-                cap *= 2
-            return cap
+        _pow2_bucket = pow2_bucket
 
         # One vectorised scan per image: (point id, camera idx, uv) triples.
         pid_parts, cam_parts, uv_parts = [], [], []

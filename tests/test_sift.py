@@ -134,11 +134,13 @@ class TestPatchSampling:
         ka, da = kps_a[0], desc_a[0]
         kb, db_ = kps_b[0], desc_b[0]
         H, W = imgs.shape[1:3]
-        # Interior keypoints only (far enough from the border that the
-        # patch/clamp difference cannot reach the sample grid).
-        margin = 35.0
 
+        # Interior keypoints only: the descriptor grid reaches ~4x the
+        # keypoint size in image pixels (1.875 cells x 3 sigma x sqrt2,
+        # size ~ 2 sigma), and the patch path's edge-replication differs
+        # from the gather path's zeroed border gradients inside that band.
         def interior(kp):
+            margin = 4.0 * kp[:, 2] + 6.0
             return ((kp[:, 0] > margin) & (kp[:, 0] < W - margin)
                     & (kp[:, 1] > margin) & (kp[:, 1] < H - margin))
 
